@@ -1,0 +1,215 @@
+"""Image manifest building + host-side volume preprocessing.
+
+Re-designs the reference's lazy per-item Dataset classes
+(/root/reference/data/ImageDatasets.py) into an eager, cache-friendly
+pipeline that produces ONE fixed-shape device-resident array:
+
+    manifest (patient dirs / files)                 [host, pandas+os]
+      -> decode NIfTI image+mask                    [host, data/nifti.py]
+      -> mask multiply + zero-slice crop or fill    [host, numpy]
+      -> resize each modality to 64^3               [host, numpy trilinear]
+      -> stack T1/T2 channels                       [host]
+      -> (N, 64, 64, 64, C) float32 cohort array    [device, one transfer]
+
+After this, training never touches the host again: per-step batches are
+device-side gathers by index, and all augmentation runs in the jitted train
+step (ops/augment.py).
+
+Behavioral parity:
+  * masking + "remove all all-zero slices in every plane" crop:
+    /root/reference/data/ImageDatasets.py:398-403 (Nifti*Dataset);
+  * the S3NiftiSurvivalDataset variant FILLS all-zero slices with
+    image_max/2 instead of cropping (ImageDatasets.py:489-501) — selected
+    with zero_slices="fill"; the T1/T2 survival path uses this variant;
+  * per-modality resize to 64^3 before channel concat
+    (sub_transforms, ImageDatasets.py:599-602);
+  * anon-id <-> UID mapping via the patient-key CSV with 'Anon MRN' and
+    'MRN' columns (ImageDatasets.py:42-56);
+  * patient folder name -> anon id: '-'.join(name.split('-')[:2]), with
+    'scan_' prefix / '.nii.gz' suffix stripping (ImageDatasets.py:63-68, 330).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .. import constants as C
+from ..exceptions import InitializationError
+from .nifti import load_nifti
+
+
+def resize_volume(vol: np.ndarray, out_shape) -> np.ndarray:
+    """Trilinear resize with half-pixel sampling (align_corners=False
+    semantics, matching jax.image.resize(method='linear'))."""
+    vol = np.asarray(vol, dtype=np.float32)
+    out = vol
+    for axis, new in enumerate(out_shape):
+        old = out.shape[axis]
+        if old == new:
+            continue
+        scale = old / new
+        centers = (np.arange(new) + 0.5) * scale - 0.5
+        lo = np.floor(centers).astype(np.int64)
+        frac = (centers - lo).astype(np.float32)
+        lo_c = np.clip(lo, 0, old - 1)
+        hi_c = np.clip(lo + 1, 0, old - 1)
+        a = np.take(out, lo_c, axis=axis)
+        b = np.take(out, hi_c, axis=axis)
+        shape = [1] * out.ndim
+        shape[axis] = new
+        w = frac.reshape(shape)
+        out = a * (1.0 - w) + b * w
+    return out
+
+
+def apply_mask(
+    image: np.ndarray, mask: np.ndarray, zero_slices: str = "crop"
+) -> np.ndarray:
+    """Multiply by the segmentation mask, then crop or fill all-zero planes.
+
+    zero_slices:
+      "crop": drop any plane (in all three axes) that is entirely zero
+        (ImageDatasets.py:398-403);
+      "fill": set those planes to image_max/2 (ImageDatasets.py:489-501);
+      "none": leave as-is.
+    """
+    masked = np.asarray(image, dtype=np.float32) * np.asarray(mask, dtype=np.float32)
+    if zero_slices == "none":
+        return masked
+    ax2 = np.all(masked == 0, axis=(0, 1))
+    ax0 = np.all(masked == 0, axis=(1, 2))
+    ax1 = np.all(masked == 0, axis=(0, 2))
+    if zero_slices == "crop":
+        masked = masked[:, :, ~ax2][~ax0, :, :][:, ~ax1, :]
+        return masked
+    if zero_slices == "fill":
+        fill = masked.max() / 2.0
+        masked[:, :, ax2] = fill
+        masked[ax0, :, :] = fill
+        masked[:, ax1, :] = fill
+        return masked
+    raise ValueError(f"Unknown zero_slices mode: {zero_slices}")
+
+
+@dataclass
+class PatientRecord:
+    anon_id: str
+    uid: int
+    image_path: str
+    mask_path: str
+
+
+def _anon_id_from_dirname(name: str) -> str:
+    anon = "-".join(name.split("-")[:2])
+    return anon.replace("scan_", "").replace(".nii.gz", "")
+
+
+def build_manifest(patient_directory: str, patient_key_csv: str) -> list[PatientRecord]:
+    """Scan a local patient directory tree into (uid, image, mask) records.
+
+    Layout (parity with NiftiSurvivalDataset, ImageDatasets.py:422-473): one
+    folder per patient; inside, the file starting with 'scan' is the image
+    and any other NIfTI is the mask.
+    """
+    key = pd.read_csv(patient_key_csv)
+    records = []
+    for name in sorted(os.listdir(patient_directory)):
+        if name.startswith("."):
+            continue
+        pdir = os.path.join(patient_directory, name)
+        if not os.path.isdir(pdir):
+            continue
+        image_path, mask_path = None, None
+        for fname in sorted(os.listdir(pdir)):
+            full = os.path.join(pdir, fname)
+            if fname.startswith("scan"):
+                image_path = full
+            elif fname.endswith((".nii", ".nii.gz")):
+                mask_path = full
+        if image_path is None or mask_path is None:
+            continue
+        anon = _anon_id_from_dirname(name)
+        row = key.loc[key[C.ANON_UID] == anon]
+        if len(row) != 1:
+            raise InitializationError(
+                f"Could not find UID for patient {anon} - Ensure uid is in the "
+                "patient key"
+            )
+        records.append(
+            PatientRecord(
+                anon_id=anon,
+                uid=int(row[C.UID].item()),
+                image_path=image_path,
+                mask_path=mask_path,
+            )
+        )
+    return records
+
+
+def load_patient_volume(
+    rec: PatientRecord,
+    spatial_size=C.SPATIAL_SIZE,
+    zero_slices: str = "fill",
+) -> np.ndarray:
+    """Decode + mask + crop/fill + resize one patient to (64,64,64)."""
+    image = load_nifti(rec.image_path, dtype=np.float32)
+    mask = load_nifti(rec.mask_path, dtype=np.float32)
+    masked = apply_mask(image, mask, zero_slices=zero_slices)
+    if any(s == 0 for s in masked.shape):
+        # Fully-masked-out volume after cropping; fall back to zeros.
+        return np.zeros(spatial_size, dtype=np.float32)
+    return resize_volume(masked, spatial_size)
+
+
+@dataclass
+class ImageCohort:
+    """All image volumes for a cohort, as one host array ready for device."""
+
+    uids: np.ndarray  # (N,)
+    volumes: np.ndarray  # (N, D, H, W, C) float32
+
+    def index_of(self, uid: int) -> int:
+        idx = np.where(self.uids == uid)[0]
+        if len(idx) != 1:
+            raise KeyError(f"uid {uid} not in image cohort")
+        return int(idx[0])
+
+
+def build_image_cohort(
+    directories,
+    patient_key_csv: str,
+    spatial_size=C.SPATIAL_SIZE,
+    zero_slices: str = "fill",
+) -> ImageCohort:
+    """Build the (N, *spatial, C) cohort array.
+
+    directories: a single path (one modality) or a (t1_dir, t2_dir) tuple —
+    T1/T2 are resized independently then stacked on the channel axis
+    (parity: T1T2SurvivalDataset, ImageDatasets.py:578-640).
+    Patients are restricted to the intersection of modalities' anon ids
+    (ImageDatasets.py:616).
+    """
+    if isinstance(directories, (str, os.PathLike)):
+        directories = [directories]
+    manifests = [build_manifest(d, patient_key_csv) for d in directories]
+
+    common = set.intersection(*[{r.anon_id for r in m} for m in manifests])
+    by_anon = [{r.anon_id: r for r in m} for m in manifests]
+    anon_ids = sorted(common)
+
+    vols, uids = [], []
+    for anon in anon_ids:
+        channels = [
+            load_patient_volume(by_anon[m][anon], spatial_size, zero_slices)
+            for m in range(len(manifests))
+        ]
+        vols.append(np.stack(channels, axis=-1))
+        uids.append(by_anon[0][anon].uid)
+    return ImageCohort(
+        uids=np.asarray(uids, dtype=np.int64),
+        volumes=np.stack(vols, axis=0).astype(np.float32),
+    )

@@ -1,0 +1,105 @@
+"""Shared model building blocks (flax.linen, channels-last layout).
+
+All image models use N[spatial...]C layout — the TPU-native layout for XLA
+convolutions (lane dimension = channels feeds the MXU directly). The reference
+uses torch NCDHW (/root/reference/models/densenet.py); conversion happens only
+at the data-pipeline edges.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch kaiming_normal_ (fan_in, relu): std = sqrt(2 / fan_in), full normal.
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# torch kaiming_normal_(mode='fan_out') used by the reference resnet
+# (/root/reference/models/resnet.py:188-190).
+kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-default hyperparameters (momentum .1, eps 1e-5)."""
+
+    use_running_average: bool
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+def max_pool(x, window: int, stride: int, padding: int, spatial_dims: int):
+    """Max pool with symmetric integer padding (torch-style)."""
+    dims = (1,) + (window,) * spatial_dims + (1,)
+    strides = (1,) + (stride,) * spatial_dims + (1,)
+    pad = ((0, 0),) + ((padding, padding),) * spatial_dims + ((0, 0),)
+    return nn.max_pool(x, dims[1:-1], strides=strides[1:-1], padding=pad[1:-1])
+
+
+def avg_pool(x, window: int, stride: int, spatial_dims: int):
+    dims = (window,) * spatial_dims
+    strides = (stride,) * spatial_dims
+    return nn.avg_pool(x, dims, strides=strides, padding="VALID")
+
+
+def global_avg_pool(x, spatial_dims: int):
+    """Adaptive average pool to 1 + flatten: (N, ..., C) -> (N, C)."""
+    axes = tuple(range(1, 1 + spatial_dims))
+    return jnp.mean(x, axis=axes)
+
+
+class ChannelDropout(nn.Module):
+    """torch DropoutNd equivalent: zeroes entire channels (broadcast over
+    spatial dims) — used inside dense layers (torch Dropout3d)."""
+
+    rate: float
+    spatial_dims: int
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if self.rate == 0.0:
+            return x
+        broadcast = tuple(range(1, 1 + self.spatial_dims))
+        return nn.Dropout(
+            rate=self.rate, broadcast_dims=broadcast, deterministic=self.deterministic
+        )(x)
+
+
+def conv(
+    features: int,
+    kernel: int | Sequence[int],
+    spatial_dims: int,
+    stride: int | Sequence[int] = 1,
+    padding="SAME",
+    use_bias: bool = False,
+    dtype=None,
+    name: str | None = None,
+    kernel_init=kaiming_normal,
+):
+    """N-D convolution with torch-compatible integer padding semantics."""
+    if isinstance(kernel, int):
+        kernel = (kernel,) * spatial_dims
+    if isinstance(stride, int):
+        stride = (stride,) * spatial_dims
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * spatial_dims
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel),
+        strides=tuple(stride),
+        padding=padding,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=kernel_init,
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )

@@ -1,0 +1,174 @@
+"""N-D DenseNet family with the custom feature-extraction head.
+
+Parity target: /root/reference/models/densenet.py —
+  * `_DenseLayer` (densenet.py:46-89): BN->ReLU->1x1conv(bn_size*growth) ->
+    BN->ReLU->3x3conv(growth) -> channel dropout -> concat with input.
+  * `_Transition` (densenet.py:123-148): BN->ReLU->1x1conv(in//2)->avgpool2.
+  * `DenseNet` (densenet.py:151-271): conv0(7,s2,p3)->BN->ReLU->maxpool(3,s2,p1)
+    -> blocks/transitions -> final BN, then the MSK custom `features` head
+    (ReLU->global-avg-pool->flatten->Linear(feature_channels)->Dropout,
+    densenet.py:234-247) and a linear `class_layers` head (densenet.py:250-256).
+  * DenseNet121: block_config (6,12,24,16) (densenet.py:312-331);
+    TinyDenseNet: (6,12,4) (densenet.py:333-356);
+    DenseNet201 (monai-vanilla equivalent): (6,12,48,32) with
+    feature_channels=None -> plain ReLU->pool->Linear head.
+
+TPU-first design notes:
+  * channels-last layout (N, *spatial, C): the growing concat axis is the XLA
+    lane dimension, so dense-block concats are free (layout no-ops) and every
+    1x1 conv is a pure MXU matmul over (voxels x channels).
+  * optional bfloat16 compute dtype (params stay fp32).
+  * Grad-CAM support without hooks: `gradcam_probe` is added to the output of
+    the LAST conv of the backbone (the activation the reference hooks:
+    /root/reference/utils/utils.py:262-274), and that activation is returned
+    as an aux output when `capture_gradcam=True`; jax.grad w.r.t. the probe
+    yields the cotangent the reference captures with a backward hook.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import BatchNorm, ChannelDropout, avg_pool, conv, global_avg_pool, max_pool
+
+
+class DenseLayer(nn.Module):
+    spatial_dims: int
+    growth_rate: int
+    bn_size: int
+    dropout_prob: float
+    dtype: jnp.dtype | None = None
+    # when set, gradcam probe/capture applies to this layer's 3x3 conv output
+    is_gradcam_target: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, gradcam_probe=None):
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm1")(x)
+        y = nn.relu(y)
+        y = conv(self.bn_size * self.growth_rate, 1, self.spatial_dims,
+                 dtype=self.dtype, name="conv1")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm2")(y)
+        y = nn.relu(y)
+        y = conv(self.growth_rate, 3, self.spatial_dims, padding=1,
+                 dtype=self.dtype, name="conv2")(y)
+
+        captured = None
+        if self.is_gradcam_target:
+            if gradcam_probe is not None:
+                y = y + gradcam_probe
+            captured = y
+
+        if self.dropout_prob > 0:
+            y = ChannelDropout(self.dropout_prob, self.spatial_dims,
+                               deterministic=not train)(y)
+        out = jnp.concatenate([x, y], axis=-1)
+        return out, captured
+
+
+class Transition(nn.Module):
+    spatial_dims: int
+    out_channels: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm")(x)
+        x = nn.relu(x)
+        x = conv(self.out_channels, 1, self.spatial_dims, dtype=self.dtype,
+                 name="conv")(x)
+        return avg_pool(x, 2, 2, self.spatial_dims)
+
+
+class DenseNet(nn.Module):
+    """Generic N-D DenseNet with backbone / features / class_layers split.
+
+    feature_channels=None selects the monai-vanilla head (no custom feature
+    bottleneck) used by the 'monaidensenet'/'densenet201' registry entries.
+    """
+
+    spatial_dims: int = 3
+    in_channels: int = 2
+    out_channels: int = 2
+    feature_channels: int | None = 12
+    init_features: int = 64
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    bn_size: int = 4
+    dropout_prob: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    def backbone(self, x, train: bool = False, gradcam_probe=None):
+        sd = self.spatial_dims
+        x = conv(self.init_features, 7, sd, stride=2, padding=3,
+                 dtype=self.dtype, name="conv0")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm0")(x)
+        x = nn.relu(x)
+        x = max_pool(x, 3, 2, 1, sd)
+
+        captured = None
+        n_blocks = len(self.block_config)
+        for i, num_layers in enumerate(self.block_config):
+            for j in range(num_layers):
+                is_target = (i == n_blocks - 1) and (j == num_layers - 1)
+                x, cap = DenseLayer(
+                    sd, self.growth_rate, self.bn_size, self.dropout_prob,
+                    dtype=self.dtype, is_gradcam_target=is_target,
+                    name=f"block{i + 1}_layer{j + 1}",
+                )(x, train, gradcam_probe if is_target else None)
+                if cap is not None:
+                    captured = cap
+            if i == n_blocks - 1:
+                x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                              name="norm5")(x)
+            else:
+                x = Transition(sd, x.shape[-1] // 2, dtype=self.dtype,
+                               name=f"transition{i + 1}")(x, train)
+        return x, captured
+
+    def features(self, x, train: bool = False):
+        x = nn.relu(x)
+        x = global_avg_pool(x, self.spatial_dims)
+        if self.feature_channels is None:
+            return x
+        x = nn.Dense(self.feature_channels, dtype=self.dtype, name="feature_layer")(x)
+        return nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+
+    def class_layers(self, x):
+        return nn.Dense(self.out_channels, dtype=self.dtype, name="out")(x)
+
+    @property
+    def gradcam_act_channels(self) -> int:
+        return self.growth_rate
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        return_features: bool = False,
+        capture_gradcam: bool = False,
+        gradcam_probe=None,
+    ):
+        x, captured = self.backbone(x, train, gradcam_probe)
+        feats = self.features(x, train)
+        out = feats if return_features else self.class_layers(feats)
+        if capture_gradcam:
+            return out, captured
+        return out
+
+
+def densenet121(**kw) -> DenseNet:
+    return DenseNet(block_config=(6, 12, 24, 16), **kw)
+
+
+def tiny_densenet(**kw) -> DenseNet:
+    """TinyDenseNet block config (/root/reference/models/densenet.py:344)."""
+    return DenseNet(block_config=(6, 12, 4), **kw)
+
+
+def densenet201(**kw) -> DenseNet:
+    kw.setdefault("feature_channels", None)
+    return DenseNet(block_config=(6, 12, 48, 32), **kw)

@@ -1,0 +1,240 @@
+"""On-device augmentation pipeline: the reference's 12-op MONAI transform
+stack re-built as a single pure-JAX function, vmapped over the batch inside
+the jitted train step.
+
+Reference pipeline (/root/reference/main.py:64-92):
+    EnsureChannelFirst -> Normalize((img - mean*max)/(std*max))
+    -> ScaleIntensity -> RandRotate(15, p=.5) -> RandAxisFlip(p=.5)
+    -> RandZoom(.9-1.1, p=.5) -> Resize(64^3)
+    -> RandShiftIntensity(.1, p=.3) -> RandAdjustContrast(p=.3)
+    -> RandGaussianSmooth(p=.2) -> RandGaussianSharpen(p=.2)
+    -> RandHistogramShift(p=.3) -> RandGaussianNoise(p=.3, std=.05) -> ToTensor
+Validation: Normalize -> ScaleIntensity -> Resize (main.py:86-92).
+
+TPU-first notes:
+  * inputs are already 64^3 (host pipeline resizes per modality before
+    stacking, matching ImageDatasets.py:599-602), so Resize is a no-op and
+    every op below has static shapes;
+  * layout is (D, H, W, C) channels-last per sample;
+  * stochastic application uses jnp.where selects (branchless — cheap on VPU
+    relative to the conv FLOPs, and vmap/jit friendly);
+  * randomness: jax.random with per-sample key folding. Parity with MONAI's
+    torch RNG stream is distributional, not bitwise (SURVEY.md §"hard parts").
+
+Augmentation-parameter notes mirror MONAI defaults:
+  * RandRotate(range_x=15): radians in MONAI (the reference's evident intent
+    was degrees but the executed behavior is U(-15, 15) rad); rotation is in
+    the plane of the first two spatial axes, bilinear, border padding.
+  * RandZoom(0.9, 1.1): keep_size, edge padding.
+  * RandAdjustContrast: gamma ~ U(0.5, 4.5).
+  * RandGaussianSmooth: sigma ~ U(0.25, 1.5) per axis.
+  * RandGaussianSharpen: sigma1 ~ U(0.5, 1.0) per axis, sigma2 = 0.5,
+    alpha ~ U(10, 30); out = blur1 + alpha * (blur1 - blur2).
+  * RandHistogramShift: 10 control points, monotone random remap.
+  * RandGaussianNoise: std ~ U(0, 0.05).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+from ..constants import IMAGE_DATA_MEAN, IMAGE_DATA_STDDEV
+
+# Gaussian kernels: sigma <= 1.5 -> radius 6 covers 4 sigma.
+_KERNEL_RADIUS = 6
+
+
+def normalize(img, mean=IMAGE_DATA_MEAN, std=IMAGE_DATA_STDDEV):
+    """(img - mean * max) / (std * max) — the reference's custom Normalize
+    (/root/reference/utils/utils.py:348-355); max over the whole tensor."""
+    mx = jnp.max(img)
+    return (img - mean * mx) / (std * mx)
+
+
+def scale_intensity(img):
+    """Min-max to [0, 1] (MONAI ScaleIntensity default)."""
+    mn, mx = jnp.min(img), jnp.max(img)
+    return (img - mn) / jnp.maximum(mx - mn, 1e-12)
+
+
+def _grid(shape):
+    """(3, D, H, W) voxel-center coordinates."""
+    d, h, w = shape
+    ii = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 2)
+    return ii, jj, kk
+
+
+def _sample(vol, coords):
+    """Trilinear sample (border clamp) per channel. vol: (D,H,W,C)."""
+    def one_channel(c):
+        return map_coordinates(c, coords, order=1, mode="nearest")
+
+    return jax.vmap(one_channel, in_axes=-1, out_axes=-1)(vol)
+
+
+def rotate_plane01(vol, theta):
+    """Rotate in the plane of spatial axes (0, 1) about the volume center."""
+    d, h, w, _ = vol.shape
+    ii, jj, kk = _grid((d, h, w))
+    c0, c1 = (d - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse rotation of output coords -> input coords
+    x0 = ii - c0
+    x1 = jj - c1
+    src0 = cos * x0 + sin * x1 + c0
+    src1 = -sin * x0 + cos * x1 + c1
+    return _sample(vol, [src0, src1, kk])
+
+
+def zoom_keep_size(vol, factor):
+    """Center zoom with keep_size semantics (edge padding when zooming out)."""
+    d, h, w, _ = vol.shape
+    ii, jj, kk = _grid((d, h, w))
+    centers = [(d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0]
+    coords = [
+        (g - c) / factor + c for g, c in zip([ii, jj, kk], centers)
+    ]
+    return _sample(vol, coords)
+
+
+def axis_flip(vol, axis_idx):
+    """Flip along one of the three spatial axes (index traced)."""
+    return jax.lax.switch(
+        axis_idx,
+        [
+            lambda v: v[::-1, :, :, :],
+            lambda v: v[:, ::-1, :, :],
+            lambda v: v[:, :, ::-1, :],
+        ],
+        vol,
+    )
+
+
+def _gaussian_kernel(sigma, radius=_KERNEL_RADIUS):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(vol, sigmas, radius=_KERNEL_RADIUS):
+    """Separable 3D gaussian blur, per-axis sigma. vol: (D,H,W,C)."""
+    out = vol
+    for axis in range(3):
+        k = _gaussian_kernel(sigmas[axis], radius)
+        moved = jnp.moveaxis(out, axis, -1)  # (..., L)
+        padded = jnp.pad(
+            moved, [(0, 0)] * (moved.ndim - 1) + [(radius, radius)], mode="edge"
+        )
+        # correlate along the last axis
+        idx = jnp.arange(moved.shape[-1])
+        taps = [padded[..., idx + t] * k[t] for t in range(2 * radius + 1)]
+        blurred = sum(taps)
+        out = jnp.moveaxis(blurred, -1, axis)
+    return out
+
+
+def adjust_contrast(img, gamma):
+    mn, mx = jnp.min(img), jnp.max(img)
+    rng = jnp.maximum(mx - mn, 1e-7)
+    return ((img - mn) / rng) ** gamma * rng + mn
+
+
+def histogram_shift(img, key, num_control_points=10):
+    mn, mx = jnp.min(img), jnp.max(img)
+    ref = jnp.linspace(0.0, 1.0, num_control_points)
+    # monotone random control points: sorted uniforms with fixed endpoints
+    u = jax.random.uniform(key, (num_control_points,))
+    floating = jnp.sort(u)
+    floating = (floating - floating[0]) / jnp.maximum(
+        floating[-1] - floating[0], 1e-7
+    )
+    rng = jnp.maximum(mx - mn, 1e-7)
+    unit = (img - mn) / rng
+    shifted = jnp.interp(unit.reshape(-1), ref, floating).reshape(img.shape)
+    return shifted * rng + mn
+
+
+def _maybe(key, prob, fn, img):
+    """Apply fn with probability prob (branchless select)."""
+    apply = jax.random.bernoulli(key, prob)
+    return jnp.where(apply, fn(img), img)
+
+
+def train_augment(
+    vol: jax.Array,
+    key: jax.Array,
+    mean: float = IMAGE_DATA_MEAN,
+    std: float = IMAGE_DATA_STDDEV,
+) -> jax.Array:
+    """Full stochastic train-time pipeline for one (D, H, W, C) sample."""
+    keys = jax.random.split(key, 20)
+    img = scale_intensity(normalize(vol, mean, std))
+
+    # RandRotate(15 rad, p=0.5)
+    theta = jax.random.uniform(keys[1], (), minval=-15.0, maxval=15.0)
+    img = _maybe(keys[0], 0.5, lambda v: rotate_plane01(v, theta), img)
+
+    # RandAxisFlip(p=0.5)
+    axis_idx = jax.random.randint(keys[3], (), 0, 3)
+    img = _maybe(keys[2], 0.5, lambda v: axis_flip(v, axis_idx), img)
+
+    # RandZoom(0.9-1.1, p=0.5)
+    factor = jax.random.uniform(keys[5], (), minval=0.9, maxval=1.1)
+    img = _maybe(keys[4], 0.5, lambda v: zoom_keep_size(v, factor), img)
+
+    # RandShiftIntensity(0.1, p=0.3)
+    offset = jax.random.uniform(keys[7], (), minval=-0.1, maxval=0.1)
+    img = _maybe(keys[6], 0.3, lambda v: v + offset, img)
+
+    # RandAdjustContrast(p=0.3), gamma ~ U(0.5, 4.5)
+    gamma = jax.random.uniform(keys[9], (), minval=0.5, maxval=4.5)
+    img = _maybe(keys[8], 0.3, lambda v: adjust_contrast(v, gamma), img)
+
+    # RandGaussianSmooth(p=0.2), sigma ~ U(0.25, 1.5) per axis
+    sig = jax.random.uniform(keys[11], (3,), minval=0.25, maxval=1.5)
+    img = _maybe(keys[10], 0.2, lambda v: gaussian_blur(v, sig), img)
+
+    # RandGaussianSharpen(p=0.2)
+    sig1 = jax.random.uniform(keys[13], (3,), minval=0.5, maxval=1.0)
+    alpha = jax.random.uniform(keys[14], (), minval=10.0, maxval=30.0)
+
+    def sharpen(v):
+        b1 = gaussian_blur(v, sig1)
+        b2 = gaussian_blur(v, jnp.full((3,), 0.5))
+        return b1 + alpha * (b1 - b2)
+
+    img = _maybe(keys[12], 0.2, sharpen, img)
+
+    # RandHistogramShift(p=0.3)
+    img = _maybe(keys[15], 0.3, lambda v: histogram_shift(v, keys[16]), img)
+
+    # RandGaussianNoise(p=0.3, std ~ U(0, 0.05))
+    noise_std = jax.random.uniform(keys[17], (), minval=0.0, maxval=0.05)
+    noise = noise_std * jax.random.normal(keys[18], img.shape)
+    apply_noise = jax.random.bernoulli(keys[19], 0.3)
+    img = jnp.where(apply_noise, img + noise, img)
+
+    return img
+
+
+def eval_transform(
+    vol: jax.Array, mean: float = IMAGE_DATA_MEAN, std: float = IMAGE_DATA_STDDEV
+) -> jax.Array:
+    """Deterministic validation/inference transform
+    (/root/reference/main.py:86-92)."""
+    return scale_intensity(normalize(vol, mean, std))
+
+
+@partial(jax.jit, static_argnames=("train",))
+def transform_batch(volumes, key, train: bool = True):
+    """Vmapped batch transform: volumes (N, D, H, W, C), one key."""
+    if not train:
+        return jax.vmap(eval_transform)(volumes)
+    keys = jax.random.split(key, volumes.shape[0])
+    return jax.vmap(train_augment)(volumes, keys)

@@ -1,0 +1,88 @@
+"""Cox proportional-hazards partial likelihood, pure JAX.
+
+Replaces the reference's pycox dependency (/root/reference/losses/losses.py:6-9).
+Semantics follow the standard Breslow-free (no-tie-correction) batch Cox partial
+likelihood used by pycox.models.loss.CoxPHLoss:
+
+    loss = - sum_{i: event_i=1} [ log_h_i - log( sum_{j: T_j >= T_i} exp(log_h_j) ) ]
+           / (number of events)
+
+computed by sorting the batch by duration descending and taking a running
+logcumsumexp, so the risk set of patient i is the prefix of patients with
+duration >= T_i. Patients with tied durations all share the full tied risk set
+(pycox's behavior: the cumulative sum runs in sorted order, so within a tie
+group the risk set depends on sort order; we use a stable sort on descending
+duration, matching pycox's torch.sort(descending=True) up to tie order —
+differences only arise for tied durations and are O(eps) in practice).
+
+NOTE (intent vs. reference): the reference wrapper passes arguments in the
+order (log_h, events, durations) into pycox's CoxPHLoss.forward(log_h,
+durations, events) (/root/reference/losses/losses.py:6-9 vs pycox signature),
+silently swapping events and durations. We implement the evident intent — the
+mathematically correct partial likelihood — and document the deviation here.
+
+All fns are jit-/vmap-/grad-safe with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cox_ph_loss(
+    log_h: jax.Array,
+    events: jax.Array,
+    durations: jax.Array,
+    eps: float = 1e-7,
+) -> jax.Array:
+    """Negative Cox partial log-likelihood for one target column.
+
+    Args:
+      log_h: (N,) predicted log hazard ratios.
+      events: (N,) 0/1 event indicators (1 = event observed / uncensored).
+      durations: (N,) follow-up durations.
+      eps: numerical floor inside the log-cumsum-exp.
+
+    Returns: scalar loss. If the batch contains no events the loss is 0
+    (the reference would divide by zero; a zero loss keeps gradients finite
+    and is the standard guard).
+    """
+    log_h = log_h.reshape(-1).astype(jnp.float32)
+    events = events.reshape(-1).astype(jnp.float32)
+    durations = durations.reshape(-1)
+
+    # Sort by duration descending (stable), so prefix i contains exactly the
+    # risk set {j : T_j >= T_i} (up to tie ordering).
+    order = jnp.argsort(-durations, stable=True)
+    log_h = log_h[order]
+    events = events[order]
+
+    gamma = jax.lax.stop_gradient(jnp.max(log_h))
+    log_cumsum_h = jnp.log(jnp.cumsum(jnp.exp(log_h - gamma)) + eps) + gamma
+
+    n_events = jnp.sum(events)
+    pll = jnp.sum((log_h - log_cumsum_h) * events)
+    return -pll / jnp.maximum(n_events, 1.0)
+
+
+def multi_cox_loss(
+    log_h: jax.Array,
+    events: jax.Array,
+    durations: jax.Array,
+    eps: float = 1e-7,
+) -> jax.Array:
+    """Sum of independent Cox losses over C target columns.
+
+    Parity: the reference's `surv_criterion` loops over `preds.shape[1]` and
+    sums one CoxPH loss per class (/root/reference/utils/utils.py:24-29).
+
+    Args:
+      log_h: (N, C) log hazard predictions.
+      events: (N, C) event indicators.
+      durations: (N, C) durations.
+    """
+    per_class = jax.vmap(cox_ph_loss, in_axes=(1, 1, 1, None))(
+        log_h, events, durations, eps
+    )
+    return jnp.sum(per_class)

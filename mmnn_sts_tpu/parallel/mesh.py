@@ -1,0 +1,67 @@
+"""Device mesh + sharding layout.
+
+The reference imports torch.distributed but never initializes it
+(/root/reference/main.py:12, 336, 975 — single-process always; SURVEY.md §2.8).
+Here distribution is first-class: a 1-axis `data` mesh spans all local devices
+(v5e-8 slice by default), batches are sharded on their leading axis, and
+parameters/optimizer state are replicated. XLA inserts the psum gradient
+all-reduce over ICI during `jit` partitioning — there is no hand-written
+collective in the training step.
+
+A `model` axis is reserved in the mesh API for tensor-parallel layouts
+(unused by default: the largest model here is ~11M params, SURVEY.md §2
+checklist), so multi-axis meshes can be configured without code changes.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape=None, axis_names=("data",), devices=None) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    shape: list of ints, -1 means "all remaining devices on this axis".
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = [-1]
+    shape = list(shape)
+    known = int(np.prod([s for s in shape if s > 0])) if any(
+        s > 0 for s in shape
+    ) else 1
+    shape = [n // known if s == -1 else s for s in shape]
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names[: len(shape)])
+
+
+def batch_sharding(mesh: Mesh, leading_axis: int = 0) -> NamedSharding:
+    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    spec = [None] * (leading_axis + 1)
+    spec[leading_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def microbatched_sharding(mesh: Mesh) -> NamedSharding:
+    """(accum_steps, batch, ...) layout: scan axis replicated, batch sharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of (B, ...) arrays with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

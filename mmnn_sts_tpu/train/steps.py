@@ -1,0 +1,206 @@
+"""Jitted train/eval steps (the hot loops).
+
+TPU-first redesign of the reference's per-batch Python loops
+(/root/reference/main.py:445-492 survival, 191-229 classification):
+
+  * ONE `jax.jit`-compiled super-step per optimizer update. For survival, the
+    64-sample super-batch is laid out as (accum_steps=8, batch=8, ...) and a
+    `lax.scan` runs the 8 microbatches: forward+backward per microbatch,
+    BatchNorm statistics updated per microbatch, gradients summed, a single
+    optimizer/schedule step at the end — exactly the reference's gradient-
+    accumulation semantics (main.py:403-407, 478-481; SURVEY.md "hard parts":
+    Cox loss is computed per microbatch, NOT on the full super-batch).
+  * augmentation runs on device inside the same jit (ops/augment.py), so a
+    training step does zero host<->device transfers beyond the index gather.
+  * data parallelism: the batch axis is sharded over the mesh's 'data' axis;
+    XLA's SPMD partitioner inserts the psum over ICI for the gradient
+    reduction. Nothing in this file mentions a collective explicitly.
+  * donate_argnums on the state: parameters are updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.augment import eval_transform, train_augment
+from ..ops.blending import (
+    blended_class_loss,
+    blended_surv_loss,
+)
+from ..ops.cox import multi_cox_loss
+from ..ops.losses import bce_with_logits
+from .state import TrainState
+
+
+def _augment_inputs(inputs, key, train: bool):
+    """Apply the image transform pipeline to the image modality (if any)."""
+    def transform(vol_batch):
+        if train:
+            keys = jax.random.split(key, vol_batch.shape[0])
+            return jax.vmap(train_augment)(vol_batch, keys)
+        return jax.vmap(eval_transform)(vol_batch)
+
+    if isinstance(inputs, dict):
+        if "image" in inputs:
+            out = dict(inputs)
+            out["image"] = transform(inputs["image"])
+            return out
+        return inputs
+    if inputs.ndim >= 4:  # (B, *spatial, C) image batch
+        return transform(inputs)
+    return inputs  # clinical-only (B, F)
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_zeros_like(t):
+    return jax.tree.map(jnp.zeros_like, t)
+
+
+# ---------------------------------------------------------------------------
+# Survival
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
+def survival_train_superstep(
+    state: TrainState,
+    inputs: Any,  # leaves (A, B, ...) — A microbatches of B samples
+    events: jax.Array,  # (A, B, C)
+    durations: jax.Array,  # (A, B, C)
+    key: jax.Array,
+    blend: bool = False,
+    augment: bool = True,
+):
+    """One optimizer update over A accumulated microbatches.
+
+    Returns (new_state, aux) where aux carries the summed loss and the raw
+    per-microbatch head predictions (A, [K,] B, C) for epoch-level C-index
+    and gradient-blending statistics.
+    """
+    num_micro = events.shape[0]
+    keys = jax.random.split(key, num_micro * 2).reshape(num_micro, 2)
+
+    def loss_fn(params, batch_stats, mb_inputs, mb_e, mb_d, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = state.apply_fn(
+            variables,
+            mb_inputs,
+            train=True,
+            rngs={"dropout": dropout_key},
+            mutable=["batch_stats"],
+        )
+        if blend:
+            loss, _selection = blended_surv_loss(state.blend, out, mb_e, mb_d)
+        else:
+            loss = multi_cox_loss(out, mb_e, mb_d)
+        return loss, (mutated["batch_stats"], out)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def micro(carry, xs):
+        batch_stats, grad_accum, loss_sum = carry
+        mb_inputs, mb_e, mb_d, ks = xs
+        mb_inputs = _augment_inputs(mb_inputs, ks[0], train=augment)
+        (loss, (new_bs, out)), grads = grad_fn(
+            state.params, batch_stats, mb_inputs, mb_e, mb_d, ks[1]
+        )
+        return (new_bs, _tree_add(grad_accum, grads), loss_sum + loss), out
+
+    init = (state.batch_stats, _tree_zeros_like(state.params), jnp.zeros(()))
+    (new_bs, grads, loss_sum), outs = jax.lax.scan(
+        micro, init, (inputs, events, durations, keys)
+    )
+
+    new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+    return new_state, {"loss": loss_sum, "preds": outs}
+
+
+@partial(jax.jit, static_argnames=("blend",))
+def survival_eval_step(
+    state: TrainState,
+    inputs: Any,  # leaves (B, ...)
+    events: jax.Array,
+    durations: jax.Array,
+    blend: bool = False,
+):
+    """Validation forward pass (running BN stats, no dropout)."""
+    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = state.apply_fn(variables, inputs, train=False)
+    if blend:
+        loss, selection = blended_surv_loss(state.blend, out, events, durations)
+    else:
+        loss = multi_cox_loss(out, events, durations)
+        selection = loss
+    return {"loss": loss, "selection_loss": selection, "preds": out}
+
+
+# ---------------------------------------------------------------------------
+# Classification
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
+def classification_train_step(
+    state: TrainState,
+    inputs: Any,  # leaves (B, ...)
+    labels: jax.Array,  # (B, C)
+    pos_weight: jax.Array,
+    key: jax.Array,
+    blend: bool = False,
+    augment: bool = True,
+):
+    """One optimizer step per batch (no accumulation —
+    /root/reference/main.py:205-217)."""
+    aug_key, dropout_key = jax.random.split(key)
+    inputs = _augment_inputs(inputs, aug_key, train=augment)
+
+    def loss_fn(params, batch_stats):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = state.apply_fn(
+            variables,
+            inputs,
+            train=True,
+            rngs={"dropout": dropout_key},
+            mutable=["batch_stats"],
+        )
+        if blend:
+            loss, _sel = blended_class_loss(state.blend, out, labels, pos_weight)
+        else:
+            loss = bce_with_logits(out, labels, pos_weight, reduction="sum")
+        return loss, (mutated["batch_stats"], out)
+
+    (loss, (new_bs, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats
+    )
+    new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+    return new_state, {"loss": loss, "preds": out}
+
+
+@partial(jax.jit, static_argnames=("blend",))
+def classification_eval_step(
+    state: TrainState,
+    inputs: Any,
+    labels: jax.Array,
+    pos_weight: jax.Array,
+    blend: bool = False,
+):
+    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = state.apply_fn(variables, inputs, train=False)
+    # unreduced losses feed the LossTracker diagnostics
+    # (/root/reference/main.py:260, utils/utils.py:409-429)
+    head = out[0] if blend else out
+    elementwise = bce_with_logits(head, labels, pos_weight, reduction="none")
+    if blend:
+        loss, _sel = blended_class_loss(state.blend, out, labels, pos_weight)
+    else:
+        loss = jnp.sum(elementwise)
+    return {"loss": loss, "preds": out, "elementwise": elementwise}

@@ -1,0 +1,33 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+This exercises the multi-chip sharding paths (pjit/psum over a Mesh) without
+TPU hardware, per the framework's test strategy (SURVEY.md §4e).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Persistent compilation cache: first-compiles in this environment are slow
+# (remote/throttled XLA compile), so cache every executable on disk.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax
+
+# The environment's TPU plugin prepends its own platform to JAX_PLATFORMS,
+# so the env var alone does not force CPU — override the config directly.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
