@@ -1,0 +1,108 @@
+"""Benchmark: multimodal survival training throughput on the flagship model.
+
+Measures MRI volumes/sec/chip for the production configuration — DenseNet121-3D
+(2-channel 64^3 T1/T2) + clinical MLP with gradient-blending heads, full
+on-device augmentation, blended multi-target Cox loss, super-batch 64 as
+8 x 8 gradient accumulation — i.e. one complete optimizer update per measured
+super-step, exactly the hot loop of `--images --preop --survival --blend`.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+We normalize against an estimated 25 volumes/sec for the reference's
+single-GPU PyTorch pipeline (per-batch host SimpleITK/MONAI preprocessing +
+pinned-memory H2D copies dominate; see SURVEY.md §6) so the ratio tracks the
+">=10x per-epoch wall-clock" north-star. The estimate is documented here so
+the ratio is auditable.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_VOLUMES_PER_SEC_ESTIMATE = 25.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmnn_sts_tpu.config import Config
+    from mmnn_sts_tpu.parallel.mesh import make_mesh, replicate
+    from mmnn_sts_tpu.models import build_model
+    from mmnn_sts_tpu.train.schedule import make_optimizer
+    from mmnn_sts_tpu.train.state import create_train_state
+    from mmnn_sts_tpu.train.steps import survival_train_superstep
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+
+    cfg = Config()  # flagship: densenet121 t1t2 (see config.py defaults)
+    cfg.tpu.compute_dtype = "bfloat16"
+    model = build_model(cfg, images=True, preop=True, postop=False, blend=True)
+
+    accum, b, s = 8, 8, 64  # super-batch 64 (reference main.py:62)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(accum, b, s, s, s, 2)).astype(np.float32) ** 2
+        ),
+        "clinical": jnp.asarray(rng.normal(size=(accum, b, 11)).astype(np.float32)),
+    }
+    events = jnp.asarray((rng.random((accum, b, 2)) < 0.7).astype(np.float32))
+    durations = jnp.asarray(
+        rng.integers(1, 2000, size=(accum, b, 2)).astype(np.float32)
+    )
+
+    tx = make_optimizer(5e-4, 2, 100)
+    sample = jax.tree.map(lambda x: x[0], batch)
+    state = create_train_state(model, tx, sample, seed=42)
+    state = state.replace(
+        params=replicate(mesh, state.params),
+        batch_stats=replicate(mesh, state.batch_stats),
+        opt_state=replicate(mesh, state.opt_state),
+    )
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    events = jax.device_put(events, sh)
+    durations = jax.device_put(durations, sh)
+
+    key = jax.random.key(0)
+
+    def step(st, k):
+        return survival_train_superstep(st, batch, events, durations, k, blend=True)
+
+    # Warmup / compile
+    state, aux = step(state, key)
+    jax.block_until_ready(aux["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, aux = step(state, k)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    volumes = accum * b * iters
+    vps_per_chip = volumes / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "MRI volumes/sec/chip (multimodal survival train, "
+                "densenet121-3d 64^3x2ch, super-batch 64, on-device augment)",
+                "value": round(vps_per_chip, 2),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(
+                    vps_per_chip / REFERENCE_VOLUMES_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,9 +88,42 @@ def build_image_model(cfg: Config) -> nn.Module:
     )
 
 
-def build_model(cfg: Config, images: bool, preop: bool, postop: bool, blend: bool):
-    """Build the task model: image-only, or multimodal fusion when images are
-    combined with clinical predictors."""
+def build_model(
+    cfg: Config,
+    images: bool,
+    preop: bool,
+    postop: bool,
+    blend: bool,
+    num_tabular_inputs: int | None = None,
+):
+    """Build the task model: clinical-only MLP, image-only encoder, or
+    multimodal fusion when images are combined with clinical predictors.
+
+    The reference's factory (/root/reference/parser/parser.py:99-180) always
+    instantiates the image model and would feed tabular data into it on a
+    clinical-only run (a latent break); the evident intent — tabular-only
+    tasks use the MLP encoder — is implemented here.
+    """
+    if not images:
+        from .mlp import MLP
+
+        if num_tabular_inputs is None:
+            pre = len(cfg.clinical_model.pre_op_predictors)
+            post = len(cfg.clinical_model.post_op_predictors)
+            if preop and postop:
+                num_tabular_inputs = pre + post
+            elif postop:
+                num_tabular_inputs = post
+            else:
+                num_tabular_inputs = pre
+        return MLP(
+            in_channels=num_tabular_inputs,
+            out_channels=cfg.image_model.num_classes,
+            feature_channels=cfg.image_model.feature_layers,
+            dropout_prob=cfg.image_model.dropout_prob,
+            dtype=_dtype(cfg),
+        )
+
     model = build_image_model(cfg)
     name = cfg.image_model.name.lower()
 

@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import NUM_CLASSES
-
 
 def _pair_stats(durations, preds, events):
     t = np.asarray(durations, dtype=np.float64).reshape(-1)
@@ -118,12 +116,14 @@ def c_indices_per_class(preds, events, durations):
     ]
 
 
-def f1_scores(tps, fps, fns, num_classes: int = NUM_CLASSES):
+def f1_scores(tps, fps, fns, num_classes: int | None = None):
     """Per-class F1 from tp/fp/fn accumulators.
 
     Parity: /root/reference/main.py:98-104 `getF1Score` (including its
     divide-by-zero NaN behavior when a class has no positives at all).
     """
+    if num_classes is None:
+        num_classes = len(np.asarray(tps))
     tps = np.asarray(tps, dtype=np.float64)
     fps = np.asarray(fps, dtype=np.float64)
     fns = np.asarray(fns, dtype=np.float64)

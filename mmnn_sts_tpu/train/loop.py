@@ -1,0 +1,420 @@
+"""Epoch-level training loops for classification and survival.
+
+Orchestration parity with /root/reference/main.py:
+  * train_survival (main.py:385-601): SGD+OneCycle per super-batch of 64 with
+    gradient accumulation; per-epoch train C-index over the epoch's logged
+    predictions; validation loss + C-indices; best-model selection on the
+    UNWEIGHTED multimodal-head loss (main.py:572-577); gradient-blender
+    weight update every blend_update_interval epochs from concatenated
+    train+val epoch statistics (main.py:584-588); loss/c-score plots and
+    gblend history CSV at the end.
+  * train_classification (main.py:125-327): BCE pos_weight from class
+    frequencies, optimizer step per batch, epoch F1 from thresholded sigmoid
+    predictions, LossTracker diagnostics, best checkpoint on mean F1.
+
+All hot work happens inside the jitted steps (train/steps.py); this module
+only shuffles indices, reads back epoch summaries, and writes artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CLASSIFICATION_THRESHOLD, SUPER_BATCH_SIZE
+from ..data.loader import DeviceDataset, EpochBatcher, gather_superbatch
+from ..ops import blending
+from ..ops.losses import pos_weight_from_frequencies
+from ..ops.metrics import c_indices_per_class, f1_scores
+from ..train import checkpoint as ckpt_lib
+from ..utils.logging import MetricsWriter, get_logger
+from ..utils.plotting import (
+    LossTracker,
+    save_blend_history,
+    save_c_score_curves,
+    save_f1_curves,
+    save_loss_curves,
+)
+from .steps import (
+    classification_eval_step,
+    classification_train_step,
+    survival_eval_step,
+    survival_train_superstep,
+)
+
+logger = get_logger()
+
+
+@dataclass
+class LoopConfig:
+    epochs: int = 100
+    batch_size: int = 8
+    super_batch: int = SUPER_BATCH_SIZE
+    blend: bool = False
+    blend_update_interval: int = 5
+    seed: int = 42
+    output_dir: str = "."
+    val_interval: int = 1
+    augment: bool = True
+    checkpoint_dir: str = ""
+    save_params_name: str = ""
+    metrics_path: str = "metrics.jsonl"
+    profile_dir: str = ""
+
+
+@dataclass
+class TrainResult:
+    state: object
+    best_metric: float
+    best_epoch: int
+    history: dict = field(default_factory=dict)
+
+
+def _flatten_epoch_preds(preds: np.ndarray, blend: bool) -> np.ndarray:
+    """(steps, A, [K,] B, C) -> ([K,] N, C) concatenated along samples."""
+    if blend:
+        # (S, A, K, B, C) -> (K, S*A*B, C)
+        s, a, k, b, c = preds.shape
+        return preds.transpose(2, 0, 1, 3, 4).reshape(k, s * a * b, c)
+    s, a, b, c = preds.shape
+    return preds.reshape(s * a * b, c)
+
+
+def train_survival(
+    state,
+    train_ds: DeviceDataset,
+    val_ds: DeviceDataset,
+    cfg: LoopConfig,
+) -> TrainResult:
+    mesh = _mesh_of(train_ds)
+    accum = max(1, cfg.super_batch // cfg.batch_size)
+    batcher = EpochBatcher(
+        train_ds.num_samples, cfg.batch_size, accum, seed=cfg.seed
+    )
+    metrics = MetricsWriter(os.path.join(cfg.output_dir, cfg.metrics_path))
+    manager = (
+        ckpt_lib.CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    )
+
+    best_loss = np.inf
+    best_epoch = -1
+    best_c_indices = None
+    train_losses, val_losses = [], []
+    train_cs, val_cs = [], []
+    blend_history = [np.asarray(state.blend.weights)]
+
+    key = jax.random.key(cfg.seed)
+    profiled = False
+
+    for epoch in range(cfg.epochs):
+        logger.info("-" * 10)
+        logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
+
+        if cfg.profile_dir and epoch == 1 and not profiled:
+            jax.profiler.start_trace(cfg.profile_dir)
+
+        epoch_loss = 0.0
+        step_preds, step_events, step_durations = [], [], []
+        for idx in batcher.epoch_indices(epoch):
+            key, k = jax.random.split(key)
+            batch = gather_superbatch(train_ds, idx, mesh)
+            state, aux = survival_train_superstep(
+                state,
+                batch["inputs"],
+                batch["events"],
+                batch["durations"],
+                k,
+                blend=cfg.blend,
+                augment=cfg.augment,
+            )
+            epoch_loss += float(aux["loss"])
+            step_preds.append(np.asarray(aux["preds"]))
+            ncls = batch["events"].shape[-1]
+            step_events.append(np.asarray(batch["events"]).reshape(-1, ncls))
+            step_durations.append(np.asarray(batch["durations"]).reshape(-1, ncls))
+
+        if cfg.profile_dir and epoch == 1 and not profiled:
+            jax.profiler.stop_trace()
+            profiled = True
+
+        train_preds = _flatten_epoch_preds(np.stack(step_preds), cfg.blend)
+        train_events = np.concatenate(step_events)
+        train_durations = np.concatenate(step_durations)
+        head0 = train_preds[0] if cfg.blend else train_preds
+        try:
+            train_c = c_indices_per_class(head0, train_events, train_durations)
+        except ZeroDivisionError:
+            train_c = [float("nan")] * head0.shape[1]
+        train_cs.append(float(np.mean(train_c)))
+
+        epoch_loss /= train_ds.num_samples
+        train_losses.append(epoch_loss)
+        logger.info(f"epoch {epoch + 1} average loss: {epoch_loss:.4f}")
+
+        # Validation
+        if (epoch + 1) % cfg.val_interval == 0:
+            out = survival_eval_step(
+                state,
+                val_ds.model_inputs(),
+                val_ds.events,
+                val_ds.durations,
+                blend=cfg.blend,
+            )
+            val_preds = np.asarray(out["preds"])
+            v_head0 = val_preds[0] if cfg.blend else val_preds
+            try:
+                c_indices = c_indices_per_class(
+                    v_head0, np.asarray(val_ds.events), np.asarray(val_ds.durations)
+                )
+            except ZeroDivisionError:
+                c_indices = [float("nan")] * v_head0.shape[1]
+            mean_c = float(np.mean(c_indices))
+            val_cs.append(mean_c)
+            val_loss = float(out["loss"]) / val_ds.num_samples
+            val_losses.append(val_loss)
+            selection_loss = float(out["selection_loss"])
+            logger.info(f"All C-indexes: {c_indices}")
+            logger.info(f"Mean C-index: {mean_c}")
+            logger.info(f"validation loss: {val_loss}")
+
+            if selection_loss < best_loss:
+                best_loss = selection_loss
+                best_epoch = epoch + 1
+                best_c_indices = c_indices
+                if manager:
+                    manager.save(
+                        epoch + 1, state, {"selection_metric": -selection_loss}
+                    )
+                if cfg.save_params_name:
+                    ckpt_lib.save_params_npz(
+                        os.path.join(cfg.output_dir, cfg.save_params_name),
+                        state.params,
+                        state.batch_stats,
+                    )
+                logger.info("saved new best metric model")
+            logger.info(
+                f"current epoch: {epoch + 1} current loss: {selection_loss:.4f}"
+                f" best loss: {best_loss:.4f} at epoch: {best_epoch}"
+                f" best c_indices: {best_c_indices}"
+            )
+            metrics.write(
+                kind="survival_epoch",
+                epoch=epoch + 1,
+                train_loss=epoch_loss,
+                val_loss=val_loss,
+                train_c=train_cs[-1],
+                val_c=mean_c,
+                selection_loss=selection_loss,
+            )
+
+        # Gradient-blender weight update
+        if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
+            logger.info("Updating gradient blender weights")
+            tr_head = blending.surv_head_losses(
+                jnp.asarray(train_preds),
+                jnp.asarray(train_events),
+                jnp.asarray(train_durations),
+            )
+            va_head = blending.surv_head_losses(
+                jnp.asarray(val_preds),
+                jnp.asarray(np.asarray(val_ds.events)),
+                jnp.asarray(np.asarray(val_ds.durations)),
+            )
+            new_blend = blending.blend_update(state.blend, tr_head, va_head, True)
+            state = state.replace(blend=new_blend)
+            blend_history.append(np.asarray(new_blend.weights))
+            logger.info(f"new weights : {np.asarray(new_blend.weights)}")
+
+        state = state.replace(epoch=state.epoch + 1)
+
+    if cfg.blend:
+        save_blend_history(blend_history, cfg.output_dir)
+    save_loss_curves(train_losses, val_losses, cfg.output_dir)
+    save_c_score_curves(train_cs, val_cs, cfg.output_dir)
+    if manager:
+        manager.wait()
+    metrics.close()
+    return TrainResult(
+        state=state,
+        best_metric=best_loss,
+        best_epoch=best_epoch,
+        history={
+            "train_loss": train_losses,
+            "val_loss": val_losses,
+            "train_c": train_cs,
+            "val_c": val_cs,
+            "best_c_indices": best_c_indices,
+        },
+    )
+
+
+def train_classification(
+    state,
+    train_ds: DeviceDataset,
+    val_ds: DeviceDataset,
+    cfg: LoopConfig,
+    class_freqs=None,
+) -> TrainResult:
+    mesh = _mesh_of(train_ds)
+    if class_freqs is None:
+        class_freqs = np.asarray(train_ds.labels).mean(axis=0)
+    pos_weight = pos_weight_from_frequencies(np.asarray(class_freqs))
+
+    batcher = EpochBatcher(train_ds.num_samples, cfg.batch_size, 1, seed=cfg.seed)
+    metrics = MetricsWriter(os.path.join(cfg.output_dir, cfg.metrics_path))
+    manager = (
+        ckpt_lib.CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    )
+    tracker = LossTracker()
+
+    best_metric = -1.0
+    best_epoch = -1
+    best_f1s = None
+    train_losses, val_losses = [], []
+    train_f1s, val_f1s = [], []
+    blend_history = [np.asarray(state.blend.weights)]
+
+    key = jax.random.key(cfg.seed)
+
+    for epoch in range(cfg.epochs):
+        logger.info("-" * 10)
+        logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
+        epoch_loss = 0.0
+        ncls = train_ds.labels.shape[-1]
+        tps = np.zeros(ncls)
+        fps = np.zeros(ncls)
+        fns = np.zeros(ncls)
+        epoch_logits, epoch_labels = [], []
+
+        for idx in batcher.epoch_indices(epoch):
+            key, k = jax.random.split(key)
+            batch = gather_superbatch(train_ds, idx, mesh)
+            state, aux = classification_train_step(
+                state,
+                batch["inputs"],
+                batch["labels"],
+                pos_weight,
+                k,
+                blend=cfg.blend,
+                augment=cfg.augment,
+            )
+            epoch_loss += float(aux["loss"])
+            out = np.asarray(aux["preds"])
+            labels = np.asarray(batch["labels"])
+            epoch_logits.append(out)
+            epoch_labels.append(labels)
+            probs = 1.0 / (1.0 + np.exp(-(out[0] if cfg.blend else out)))
+            pred_lbl = probs > CLASSIFICATION_THRESHOLD
+            tps += ((pred_lbl == 1) & (labels == 1)).sum(axis=0)
+            fps += ((pred_lbl == 1) & (labels == 0)).sum(axis=0)
+            fns += ((pred_lbl == 0) & (labels == 1)).sum(axis=0)
+
+        f1s = f1_scores(tps, fps, fns)
+        train_f1s.append(float(np.nanmean(f1s)))
+        epoch_loss /= train_ds.num_samples
+        train_losses.append(epoch_loss)
+        logger.info(f"epoch {epoch + 1} average loss: {epoch_loss:.4f}")
+
+        if (epoch + 1) % cfg.val_interval == 0:
+            out = classification_eval_step(
+                state,
+                val_ds.model_inputs(),
+                val_ds.labels,
+                pos_weight,
+                blend=cfg.blend,
+            )
+            val_logits = np.asarray(out["preds"])
+            labels = np.asarray(val_ds.labels)
+            head = val_logits[0] if cfg.blend else val_logits
+            probs = 1.0 / (1.0 + np.exp(-head))
+            pred_lbl = (probs > CLASSIFICATION_THRESHOLD).astype(np.float64)
+            elementwise = np.asarray(out["elementwise"])
+            tracker.update(pred_lbl, labels, elementwise)
+            test_loss = float(elementwise.sum()) / val_ds.num_samples
+            val_losses.append(test_loss)
+            logger.info(f"Validation loss: {test_loss}")
+
+            tp = ((pred_lbl == 1) & (labels == 1)).sum(axis=0)
+            fp = ((pred_lbl == 1) & (labels == 0)).sum(axis=0)
+            fn = ((pred_lbl == 0) & (labels == 1)).sum(axis=0)
+            f1s = np.array(f1_scores(tp, fp, fn))
+            mean_f1 = float(np.nanmean(f1s))
+            val_f1s.append(mean_f1)
+            if mean_f1 > best_metric:
+                best_metric = mean_f1
+                best_f1s = f1s
+                best_epoch = epoch + 1
+                if manager:
+                    manager.save(epoch + 1, state, {"selection_metric": mean_f1})
+                if cfg.save_params_name:
+                    ckpt_lib.save_params_npz(
+                        os.path.join(cfg.output_dir, cfg.save_params_name),
+                        state.params,
+                        state.batch_stats,
+                    )
+                logger.info("saved new best metric model")
+            logger.info(
+                f"current epoch: {epoch + 1} current f1: {mean_f1:.4f}"
+                f" best f1: {best_metric:.4f} at epoch: {best_epoch}"
+            )
+            metrics.write(
+                kind="classification_epoch",
+                epoch=epoch + 1,
+                train_loss=epoch_loss,
+                val_loss=test_loss,
+                train_f1=train_f1s[-1],
+                val_f1=mean_f1,
+            )
+
+        if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
+            logger.info("Updating gradient blender weights")
+            tr_logits = np.concatenate(epoch_logits, axis=1 if cfg.blend else 0)
+            tr_labels = np.concatenate(epoch_labels, axis=0)
+            tr_head = blending.class_head_losses(
+                jnp.asarray(tr_logits), jnp.asarray(tr_labels), pos_weight
+            )
+            va_head = blending.class_head_losses(
+                jnp.asarray(val_logits), jnp.asarray(labels), pos_weight
+            )
+            new_blend = blending.blend_update(state.blend, tr_head, va_head, False)
+            state = state.replace(blend=new_blend)
+            blend_history.append(np.asarray(new_blend.weights))
+            logger.info(f"new weights : {np.asarray(new_blend.weights)}")
+
+        state = state.replace(epoch=state.epoch + 1)
+
+    tracker.save_plots(cfg.output_dir)
+    if cfg.blend:
+        save_blend_history(blend_history, cfg.output_dir)
+    save_loss_curves(train_losses, val_losses, cfg.output_dir)
+    save_f1_curves(train_f1s, val_f1s, cfg.output_dir)
+    if cfg.save_params_name:
+        ckpt_lib.save_params_npz(
+            os.path.join(cfg.output_dir, "final_" + cfg.save_params_name),
+            state.params,
+            state.batch_stats,
+        )
+    if manager:
+        manager.wait()
+    metrics.close()
+    return TrainResult(
+        state=state,
+        best_metric=best_metric,
+        best_epoch=best_epoch,
+        history={
+            "train_loss": train_losses,
+            "val_loss": val_losses,
+            "train_f1": train_f1s,
+            "val_f1": val_f1s,
+            "best_f1s": None if best_f1s is None else best_f1s.tolist(),
+        },
+    )
+
+
+def _mesh_of(ds: DeviceDataset):
+    leaf = next(iter(ds.inputs.values()))
+    return leaf.sharding.mesh

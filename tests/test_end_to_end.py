@@ -1,0 +1,164 @@
+"""End-to-end CLI smoke tests on the synthetic cohort (clinical path; the
+image path's heavy conv compiles are covered by test_models/test_steps and
+the driver's dryrun)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_full_cohort
+
+
+@pytest.fixture(scope="module")
+def cohort_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    paths, uids = make_full_cohort(str(root), n=24)
+    cfg_path = os.path.join(str(root), "config.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            f"""
+Data:
+  data_loc: '{paths["clinical"]}'
+  image_loc: '{paths["root"]}'
+  key_loc: '{paths["key"]}'
+  t1_path: 't1'
+  t2_path: 't2'
+ImageModel:
+  name: 'tinydensenet'
+  modality: 't1t2'
+  feature_layers: 12
+  num_classes: 2
+  spatial_dims: 3
+  in_channels: 2
+  dropout_prob: 0.2
+Preprocessing:
+  train_uid_location: '{root}/train_uids.txt'
+  val_uid_location: '{root}/val_uids.txt'
+  test_uid_location: '{root}/test_uids.txt'
+Hyperparameters:
+  epochs: 2
+  learning_rate: 0.0005
+  train_batch_size: 4
+  test_batch_size: 4
+  seed: 42
+"""
+        )
+    return {"root": str(root), "config": cfg_path, "paths": paths, "uids": uids}
+
+
+def _run_cli(args, workdir):
+    from mmnn_sts_tpu.cli import main
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        return main(args)
+    finally:
+        os.chdir(cwd)
+
+
+def test_cli_classification_preop(cohort_cfg, tmp_path):
+    rc = _run_cli(
+        [
+            "--classification",
+            "--preop",
+            "--split",
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+            "--epochs",
+            "2",
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_loss.png").exists()
+    assert (tmp_path / "train_val_f1.png").exists()
+    assert (tmp_path / "val_loss_by_cm.png").exists()
+    assert (tmp_path / "model.npz").exists()
+    # uid split files were written by --split
+    assert os.path.exists(os.path.join(cohort_cfg["root"], "train_uids.txt"))
+    # metrics jsonl has epoch records
+    lines = open(tmp_path / "metrics.jsonl").read().strip().splitlines()
+    recs = [json.loads(x) for x in lines]
+    assert any(r["kind"] == "classification_epoch" for r in recs)
+
+
+def test_cli_survival_preop(cohort_cfg, tmp_path):
+    rc = _run_cli(
+        [
+            "--survival",
+            "--preop",
+            "--train_uid_location",
+            os.path.join(cohort_cfg["root"], "train_uids.txt"),
+            "--val_uid_location",
+            os.path.join(cohort_cfg["root"], "val_uids.txt"),
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+            "--epochs",
+            "2",
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_loss.png").exists()
+    assert (tmp_path / "train_val_c_score.png").exists()
+
+
+def test_cli_survival_inference(cohort_cfg, tmp_path):
+    rc = _run_cli(
+        [
+            "--inference",
+            "--survival",
+            "--preop",
+            "--no_gradcam",
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    csv = tmp_path / "survival_model_predictions.csv"
+    assert csv.exists()
+    import pandas as pd
+
+    df = pd.read_csv(csv)
+    assert list(df.columns) == [
+        "MRN",
+        "VS_pred",
+        "DM_pred",
+        "VS_event",
+        "DM_event",
+        "VS_duration",
+        "DM_duration",
+    ]
+
+
+def test_cli_bootstrap(cohort_cfg, tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="mmnn_sts_tpu"):
+        rc = _run_cli(
+            [
+                "--inference",
+                "--survival",
+                "--preop",
+                "--bootstrap",
+                "--no_gradcam",
+                "--config",
+                cohort_cfg["config"],
+                "--output_path",
+                str(tmp_path),
+            ],
+            cohort_cfg["root"],
+        )
+    assert rc == 0
+    assert "Mean c indices" in caplog.text
+    assert "Std. devs" in caplog.text
