@@ -154,8 +154,24 @@ def load_patient_volume(
     rec: PatientRecord,
     spatial_size=C.SPATIAL_SIZE,
     zero_slices: str = "fill",
+    use_native: bool = True,
 ) -> np.ndarray:
-    """Decode + mask + crop/fill + resize one patient to (64,64,64)."""
+    """Decode + mask + crop/fill + resize one patient to (64,64,64).
+
+    Uses the C++ fused decode/preprocess (data/native.py) when built; the
+    numpy path below is the reference implementation it is tested against.
+    """
+    if use_native:
+        from .native import preprocess_patient_native
+
+        try:
+            out = preprocess_patient_native(
+                rec.image_path, rec.mask_path, zero_slices, spatial_size
+            )
+            if out is not None:
+                return out
+        except IOError:
+            pass  # fall back to the numpy path for unsupported inputs
     image = load_nifti(rec.image_path, dtype=np.float32)
     mask = load_nifti(rec.mask_path, dtype=np.float32)
     masked = apply_mask(image, mask, zero_slices=zero_slices)

@@ -1,0 +1,105 @@
+"""C++ native data path vs the numpy reference implementation."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mmnn_sts_tpu.data import native
+from mmnn_sts_tpu.data.images import apply_mask, resize_volume
+from mmnn_sts_tpu.data.nifti import load_nifti, save_nifti
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    if not native.available():
+        rc = subprocess.run(["make", "-C", NATIVE_DIR], capture_output=True)
+        assert rc.returncode == 0, rc.stderr.decode()
+        native._TRIED = False  # re-probe
+    assert native.available(), "libmmnn_native.so missing"
+
+
+def _write_vol(tmp_path, name, arr):
+    p = str(tmp_path / name)
+    save_nifti(p, arr)
+    return p
+
+
+def test_native_nifti_decode_matches_numpy(tmp_path, rng):
+    arr = (rng.normal(size=(11, 9, 14)) * 100).astype(np.float32)
+    p = _write_vol(tmp_path, "v.nii.gz", arr)
+    got = native.load_nifti_native(p)
+    np.testing.assert_allclose(got, load_nifti(p), rtol=1e-6)
+    np.testing.assert_allclose(got, arr, rtol=1e-6)
+
+
+def test_native_decode_plain_nii(tmp_path, rng):
+    arr = (rng.normal(size=(5, 6, 7)) * 10).astype(np.float32)
+    p = _write_vol(tmp_path, "v.nii", arr)
+    np.testing.assert_allclose(native.load_nifti_native(p), arr, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["crop", "fill", "none"])
+def test_native_preprocess_matches_numpy(tmp_path, rng, mode):
+    shape = (17, 13, 19)
+    img = (rng.normal(size=shape) ** 2 * 300).astype(np.float32)
+    mask = np.zeros(shape, dtype=np.float32)
+    mask[3:-4, 2:-2, 5:-3] = 1.0
+    pi = _write_vol(tmp_path, "img.nii.gz", img)
+    pm = _write_vol(tmp_path, "mask.nii.gz", mask)
+
+    got = native.preprocess_patient_native(pi, pm, mode, (12, 12, 12))
+    masked = apply_mask(img, mask, zero_slices=mode)
+    want = resize_volume(masked, (12, 12, 12))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_native_cohort_parallel(tmp_path, rng):
+    n = 6
+    imgs, masks = [], []
+    for i in range(n):
+        shape = (10 + i, 12, 9)
+        img = (rng.normal(size=shape) ** 2 * 50).astype(np.float32)
+        mask = np.ones(shape, dtype=np.float32)
+        imgs.append(_write_vol(tmp_path, f"i{i}.nii.gz", img))
+        masks.append(_write_vol(tmp_path, f"m{i}.nii.gz", mask))
+    out = native.preprocess_cohort_native(imgs, masks, "fill", (8, 8, 8),
+                                          num_threads=3)
+    assert out.shape == (n, 8, 8, 8)
+    for i in range(n):
+        single = native.preprocess_patient_native(imgs[i], masks[i], "fill",
+                                                  (8, 8, 8))
+        np.testing.assert_allclose(out[i], single, rtol=1e-6)
+
+
+def test_native_error_on_missing_file():
+    with pytest.raises(IOError):
+        native.preprocess_patient_native("/nope/img.nii", "/nope/mask.nii",
+                                         "crop", (8, 8, 8))
+
+
+def test_native_int16_scaled(tmp_path, rng):
+    """int16 datatype with scl_slope handled (hand-built header)."""
+    import gzip
+    import struct
+
+    arr = rng.integers(-500, 500, size=(6, 5, 4)).astype(np.int16)
+    header = bytearray(348)
+    struct.pack_into("<i", header, 0, 348)
+    struct.pack_into("<8h", header, 40, 3, 6, 5, 4, 1, 1, 1, 1)
+    struct.pack_into("<h", header, 70, 4)  # int16
+    struct.pack_into("<h", header, 72, 16)
+    struct.pack_into("<f", header, 108, 352.0)
+    struct.pack_into("<f", header, 112, 2.0)  # slope
+    struct.pack_into("<f", header, 116, 1.0)  # inter
+    header[344:348] = b"n+1\x00"
+    blob = bytes(header) + b"\x00" * 4 + arr.tobytes(order="F")
+    p = str(tmp_path / "i16.nii.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(blob)
+    want = arr.astype(np.float64) * 2.0 + 1.0
+    np.testing.assert_allclose(native.load_nifti_native(p), want, rtol=1e-6)
+    np.testing.assert_allclose(load_nifti(p), want, rtol=1e-6)
