@@ -59,16 +59,20 @@ def main():
     tx = make_optimizer(5e-4, 2, 100)
     sample = jax.tree.map(lambda x: x[0], batch)
     state = create_train_state(model, tx, sample, seed=42)
-    state = state.replace(
-        params=replicate(mesh, state.params),
-        batch_stats=replicate(mesh, state.batch_stats),
-        opt_state=replicate(mesh, state.opt_state),
-    )
-
-    sh = NamedSharding(mesh, P(None, "data"))
-    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-    events = jax.device_put(events, sh)
-    durations = jax.device_put(durations, sh)
+    if n_chips > 1:
+        # Multi-chip: commit state replicated + batch sharded on the mesh.
+        # (Single chip: leave everything uncommitted — mixing mesh-committed
+        # inputs with uncommitted jit outputs forces a host round-trip of the
+        # full train state per step.)
+        state = state.replace(
+            params=replicate(mesh, state.params),
+            batch_stats=replicate(mesh, state.batch_stats),
+            opt_state=replicate(mesh, state.opt_state),
+        )
+        sh = NamedSharding(mesh, P(None, "data"))
+        batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        events = jax.device_put(events, sh)
+        durations = jax.device_put(durations, sh)
 
     key = jax.random.key(0)
 
@@ -77,14 +81,16 @@ def main():
 
     # Warmup / compile
     state, aux = step(state, key)
-    jax.block_until_ready(aux["loss"])
+    jax.block_until_ready((state.params, aux["loss"]))
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
         state, aux = step(state, k)
-    jax.block_until_ready(aux["loss"])
+        # block every step: no pipelining credit, counts dispatch latency
+        jax.block_until_ready(aux["loss"])
+    jax.block_until_ready((state.params, aux["loss"]))
     dt = time.perf_counter() - t0
 
     volumes = accum * b * iters

@@ -194,11 +194,15 @@ def main(argv=None) -> int:
                         hp.weight_decay)
     sample = jax.tree.map(lambda x: x[:1], train_ds.model_inputs())
     state = create_train_state(model, tx, sample, seed=hp.seed)
-    state = state.replace(
-        params=replicate(mesh, state.params),
-        batch_stats=replicate(mesh, state.batch_stats),
-        opt_state=replicate(mesh, state.opt_state),
-    )
+    if mesh.devices.size > 1:
+        # Commit the state replicated on the mesh only when actually
+        # distributed; on a single chip committed-vs-uncommitted sharding
+        # mismatches force a host round-trip of the state every step.
+        state = state.replace(
+            params=replicate(mesh, state.params),
+            batch_stats=replicate(mesh, state.batch_stats),
+            opt_state=replicate(mesh, state.opt_state),
+        )
 
     # Weight loading: trained weights for inference, pretrained otherwise
     weights_path = (hp.model_weights if args.inference else

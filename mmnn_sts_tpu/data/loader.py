@@ -75,6 +75,10 @@ def build_device_dataset(
         if x is None:
             return None
         x = jnp.asarray(x, dtype=jnp.float32)
+        if n_dev == 1:
+            # single chip: keep arrays uncommitted so jit in/out shardings
+            # always match (committed/uncommitted mixes force host copies)
+            return jax.device_put(x)
         if x.shape[0] % n_dev == 0:
             return jax.device_put(x, batch_sharding(mesh))
         return jax.device_put(x, jax.NamedSharding(mesh, jax.P()))
@@ -139,14 +143,16 @@ def gather_superbatch(ds: DeviceDataset, idx: np.ndarray, mesh):
     flat = idx.reshape(-1)
     shape = idx.shape  # (A, B) or (B,)
     micro = shape[-1]
-    if micro % mesh.devices.size == 0:
+    if mesh.devices.size == 1:
+        sh = None
+    elif micro % mesh.devices.size == 0:
         sh = microbatched_sharding(mesh) if idx.ndim == 2 else batch_sharding(mesh)
     else:
         sh = jax.NamedSharding(mesh, jax.P())
 
     def take(x):
         out = x[flat].reshape(shape + x.shape[1:])
-        return jax.device_put(out, sh)
+        return jax.device_put(out, sh) if sh is not None else out
 
     inputs = jax.tree.map(take, ds.model_inputs())
     out = {"inputs": inputs}
