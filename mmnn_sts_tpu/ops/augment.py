@@ -78,17 +78,13 @@ def _sample(vol, coords):
     return jax.vmap(one_channel, in_axes=-1, out_axes=-1)(vol)
 
 
-def spatial_transform(vol, theta, flip_axis, zoom_factor):
+def spatial_transform_gather(vol, theta, flip_axis, zoom_factor):
     """Fused rotate -> axis-flip -> center-zoom in ONE trilinear gather.
 
-    Semantics compose the reference's sequential RandRotate (plane of spatial
-    axes (0,1), border padding) -> RandAxisFlip -> RandZoom (keep_size, edge
-    padding): output = Zoom(Flip(Rot(img))). The coordinate pullback is
-    applied to the sampling grid in reverse order, so the whole spatial stage
-    costs a single resample pass (HBM-bandwidth win vs three; boundary
-    handling is clamp throughout, interpolation happens once instead of
-    twice which slightly sharpens vs the reference — distributionally
-    equivalent augmentation).
+    Reference composition (Zoom(Flip(Rot(img))), clamp boundaries). Gathers
+    are slow on the TPU's vector memory; `spatial_transform` (the default)
+    computes the identical transform as MXU matmuls instead. Kept as the
+    semantics oracle for tests and for non-TPU backends.
 
     flip_axis: 0/1/2, or 3 for "no flip".
     """
@@ -113,6 +109,112 @@ def spatial_transform(vol, theta, flip_axis, zoom_factor):
     s0 = cos * x0 - sin * x1 + centers[0]
     s1 = sin * x0 + cos * x1 + centers[1]
     return _sample(vol, [s0, s1, g2])
+
+
+def _interp_rows(src, n_in):
+    """(n_out,) clamped source coords -> (n_out, n_in) linear-interp matrix.
+
+    Each row holds the two-tap linear interpolation weights for one output
+    position; out-of-range coords clamp to the edge (border/edge padding
+    semantics). Applying the resample then becomes a matmul — the
+    TPU-native formulation (banded matrix on the MXU instead of a gather).
+    """
+    src = jnp.clip(src, 0.0, n_in - 1.0)
+    lo = jnp.floor(src)
+    frac = (src - lo).astype(jnp.float32)
+    lo = lo.astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, n_in - 1)
+    return (
+        jax.nn.one_hot(lo, n_in, dtype=jnp.float32) * (1.0 - frac)[..., None]
+        + jax.nn.one_hot(hi, n_in, dtype=jnp.float32) * frac[..., None]
+    )
+
+
+def _axis_coords(n):
+    return jnp.arange(n, dtype=jnp.float32)
+
+
+def spatial_transform(vol, theta, flip_axis, zoom_factor):
+    """Rotate -> axis-flip -> center-zoom, computed entirely as MXU matmuls.
+
+    TPU-first design: per-voxel gathers (jax map_coordinates) serialize on
+    TPU; instead the rotation is decomposed into three 1-D shears
+    (R = Sx(tan t/2) Sy(-sin t) Sx(tan t/2)) plus an exact quarter-turn, and
+    every 1-D resample (shear / zoom / flip) is a banded (n_out, n_in)
+    interpolation-matrix multiply — batched 64x64 matmuls straight onto the
+    systolic array. Boundary handling is clamp (matching the reference's
+    border/edge padding); interpolation is applied per 1-D stage, which is
+    marginally smoother than a single trilinear pass — distributionally
+    equivalent augmentation (the gather version remains as the oracle).
+
+    flip_axis: 0/1/2, or 3 for "no flip".
+    """
+    d, h, w, _ = vol.shape
+    c0, c1, c2 = (d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0
+
+    # exact quarter-turn + residual in [-pi/4, pi/4] (keeps shear tangents
+    # bounded for any wrapped angle)
+    k = jnp.round(theta / (jnp.pi / 2.0))
+    residual = theta - k * (jnp.pi / 2.0)
+    k = jnp.asarray(k, jnp.int32) % 4
+
+    def rot90_k(v):
+        # image rotation by k quarter turns in the (0,1) plane, matching the
+        # continuous rotation convention of spatial_transform_gather
+        return jax.lax.switch(
+            k,
+            [
+                lambda x: x,
+                lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),
+                lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
+                lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),
+            ],
+            v,
+        )
+
+    out = rot90_k(vol)
+
+    t = jnp.tan(residual / 2.0)
+    s = jnp.sin(residual)
+
+    i_coord = _axis_coords(d)
+    j_coord = _axis_coords(h)
+    w_coord = _axis_coords(w)
+
+    # shear_x(a): out[i, j] = in[i + a * (j - c1), j]
+    def shear_x(v, a):
+        src = i_coord[None, :] + a * (j_coord[:, None] - c1)  # (h, d)
+        m = _interp_rows(src, d)  # (h, d_out, d_in)
+        return jnp.einsum("jix,xjwc->ijwc", m, v,
+                          preferred_element_type=jnp.float32)
+
+    # shear_y(b): out[i, j] = in[i, j + b * (i - c0)]
+    def shear_y(v, b):
+        src = j_coord[None, :] + b * (i_coord[:, None] - c0)  # (d, h)
+        m = _interp_rows(src, h)  # (d, h_out, h_in)
+        return jnp.einsum("ijy,iywc->ijwc", m, v,
+                          preferred_element_type=jnp.float32)
+
+    out = shear_x(out, t)
+    out = shear_y(out, -s)
+    out = shear_x(out, t)
+
+    # flip (one axis or none) folded into the per-axis zoom matrices
+    def axis_matrix(n, c, axis_id):
+        src = (jnp.arange(n, dtype=jnp.float32) - c) / zoom_factor + c
+        src = jnp.where(flip_axis == axis_id, (n - 1) - src, src)
+        return _interp_rows(src, n)
+
+    z0 = axis_matrix(d, c0, 0)
+    z1 = axis_matrix(h, c1, 1)
+    z2 = axis_matrix(w, c2, 2)
+    out = jnp.einsum("ix,xjwc->ijwc", z0, out,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("jy,iywc->ijwc", z1, out,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("kw,ijwc->ijkc", z2, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(vol.dtype)
 
 
 def rotate_plane01(vol, theta):

@@ -112,6 +112,56 @@ def test_histogram_shift_monotone(rng):
     assert (diffs >= -1e-5).all()  # monotone intensity remap
 
 
+def test_matmul_resample_matches_gather_exact_cases(rng):
+    """The MXU (shear/zoom matmul) resample equals the gather oracle exactly
+    on separable / quarter-turn transforms."""
+    v = vol(rng, s=14)
+    cases = [
+        (0.0, 3, 1.0),
+        (0.0, 3, 1.07),
+        (0.0, 0, 1.0),
+        (0.0, 2, 0.9),
+        (np.pi / 2, 3, 1.0),
+        (np.pi, 3, 1.0),
+        (-np.pi / 2, 3, 1.0),
+    ]
+    for theta, flip, zoom in cases:
+        a = np.asarray(
+            augment.spatial_transform(
+                v, jnp.float32(theta), jnp.int32(flip), jnp.float32(zoom)
+            )
+        )
+        b = np.asarray(
+            augment.spatial_transform_gather(
+                v, jnp.float32(theta), jnp.int32(flip), jnp.float32(zoom)
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=str((theta, flip, zoom)))
+
+
+def test_matmul_resample_close_on_smooth_rotations(rng):
+    """General rotations agree with the gather oracle up to interpolator
+    smoothing (3x 1-D linear vs one trilinear pass) on smooth content."""
+    from scipy.ndimage import gaussian_filter
+
+    raw = rng.normal(size=(16, 16, 16, 2))
+    smooth = np.stack(
+        [gaussian_filter(raw[..., c], 2.0) for c in range(2)], -1
+    ).astype(np.float32)
+    v = jnp.asarray(smooth)
+    for theta in [0.2, -0.7, 14.0]:
+        a = np.asarray(
+            augment.spatial_transform(v, jnp.float32(theta), jnp.int32(3),
+                                      jnp.float32(1.0))
+        )
+        b = np.asarray(
+            augment.spatial_transform_gather(v, jnp.float32(theta),
+                                             jnp.int32(3), jnp.float32(1.0))
+        )
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.99, (theta, corr)
+
+
 def test_train_augment_shapes_and_finite(rng):
     v = vol(rng, s=16)
     out = augment.train_augment(v, jax.random.key(0))
