@@ -84,16 +84,19 @@ def main():
     jax.block_until_ready((state.params, aux["loss"]))
 
     iters = 30
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
         key, k = jax.random.split(key)
+        t0 = time.perf_counter()
         state, aux = step(state, k)
         # block every step: no pipelining credit, counts dispatch latency
         jax.block_until_ready(aux["loss"])
+        times.append(time.perf_counter() - t0)
     jax.block_until_ready((state.params, aux["loss"]))
-    dt = time.perf_counter() - t0
+    # median per-step time: robust to transient tunnel/dispatch hiccups
+    dt = float(np.median(times))
 
-    volumes = accum * b * iters
+    volumes = accum * b
     vps_per_chip = volumes / dt / n_chips
     print(
         json.dumps(

@@ -109,6 +109,10 @@ class TPUConfig:
     device_resident_dataset: bool = True
     debug_nans: bool = False
     profile_dir: str = ""
+    # Pallas fused BN+ReLU+1x1conv in DenseNet bottlenecks (perf option;
+    # parameter layout differs from the unfused path — see
+    # models/densenet.FusedBottleneck)
+    use_pallas_fused_dense: bool = False
 
 
 @dataclass

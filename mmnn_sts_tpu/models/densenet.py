@@ -32,7 +32,62 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import BatchNorm, ChannelDropout, avg_pool, conv, global_avg_pool, max_pool
+from .common import (
+    BatchNorm,
+    ChannelDropout,
+    avg_pool,
+    conv,
+    global_avg_pool,
+    kaiming_normal,
+    max_pool,
+)
+
+
+class FusedBottleneck(nn.Module):
+    """BN+ReLU+1x1conv via the Pallas fused kernel (ops/pallas/fused_dense).
+
+    Owns its BatchNorm statistics (torch-default momentum 0.9 / eps 1e-5,
+    matching models/common.BatchNorm) since the elementwise prologue lives
+    inside the kernel. Parameter layout: {scale, bias, kernel} +
+    batch_stats {mean, var} — checkpoints are not interchangeable with the
+    unfused path (perf option, off by default).
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops.pallas.fused_dense import bn_relu_conv1x1
+
+        cin = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (cin,))
+        bias = self.param("bias", nn.initializers.zeros, (cin,))
+        kernel = self.param(
+            "kernel", kaiming_normal, (cin, self.features), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((cin,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((cin,), jnp.float32)
+        )
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        dtype = self.dtype or x.dtype
+        return bn_relu_conv1x1(
+            x.astype(dtype), scale, bias, mean, var,
+            kernel.astype(dtype), interpret=self.interpret,
+        )
 
 
 class DenseLayer(nn.Module):
@@ -43,13 +98,22 @@ class DenseLayer(nn.Module):
     dtype: jnp.dtype | None = None
     # when set, gradcam probe/capture applies to this layer's 3x3 conv output
     is_gradcam_target: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, gradcam_probe=None):
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm1")(x)
-        y = nn.relu(y)
-        y = conv(self.bn_size * self.growth_rate, 1, self.spatial_dims,
-                 dtype=self.dtype, name="conv1")(y)
+        if self.use_pallas:
+            y = FusedBottleneck(
+                self.bn_size * self.growth_rate, dtype=self.dtype,
+                interpret=self.pallas_interpret, name="fused1",
+            )(x, train)
+        else:
+            y = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          name="norm1")(x)
+            y = nn.relu(y)
+            y = conv(self.bn_size * self.growth_rate, 1, self.spatial_dims,
+                     dtype=self.dtype, name="conv1")(y)
         y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm2")(y)
         y = nn.relu(y)
         y = conv(self.growth_rate, 3, self.spatial_dims, padding=1,
@@ -99,6 +163,8 @@ class DenseNet(nn.Module):
     bn_size: int = 4
     dropout_prob: float = 0.0
     dtype: jnp.dtype | None = None
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     def backbone(self, x, train: bool = False, gradcam_probe=None):
         sd = self.spatial_dims
@@ -116,6 +182,8 @@ class DenseNet(nn.Module):
                 x, cap = DenseLayer(
                     sd, self.growth_rate, self.bn_size, self.dropout_prob,
                     dtype=self.dtype, is_gradcam_target=is_target,
+                    use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret,
                     name=f"block{i + 1}_layer{j + 1}",
                 )(x, train, gradcam_probe if is_target else None)
                 if cap is not None:

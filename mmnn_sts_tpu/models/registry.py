@@ -30,6 +30,7 @@ def build_image_model(cfg: Config) -> nn.Module:
     im = cfg.image_model
     name = im.name.lower()
     dtype = _dtype(cfg)
+    use_pallas = bool(getattr(cfg.tpu, "use_pallas_fused_dense", False))
     if name.startswith("densenet121"):
         return densenet121(
             spatial_dims=im.spatial_dims,
@@ -38,6 +39,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             feature_channels=im.feature_layers,
             dropout_prob=im.dropout_prob,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
     if name.startswith("tinydensenet"):
         return tiny_densenet(
@@ -47,6 +49,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             feature_channels=im.feature_layers,
             dropout_prob=im.dropout_prob,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
     if name.startswith("tinycnn"):
         return TinyCNN(

@@ -1,0 +1,89 @@
+"""Multi-device (8 virtual CPU) sharded training-path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmnn_sts_tpu.models.mlp import MLP
+from mmnn_sts_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    microbatched_sharding,
+    replicate,
+)
+from mmnn_sts_tpu.train.schedule import make_optimizer
+from mmnn_sts_tpu.train.state import create_train_state
+from mmnn_sts_tpu.train.steps import survival_train_superstep
+
+
+def test_mesh_covers_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        make_mesh(shape=[3])  # 3 does not divide 8
+
+
+def test_sharded_superstep_matches_single_device(rng):
+    """The same superstep on an 8-way sharded batch must produce the same
+    parameters as unsharded execution (psum-reduced grads == full-batch
+    grads)."""
+    a, b, f = 2, 8, 6
+    x = jnp.asarray(rng.normal(size=(a, b, f)).astype(np.float32))
+    e = jnp.asarray((rng.random((a, b, 2)) < 0.8).astype(np.float32))
+    d = jnp.asarray(rng.integers(1, 100, size=(a, b, 2)).astype(np.float32))
+
+    model = MLP(in_channels=f, out_channels=2, feature_channels=4,
+                dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+
+    # single-device run
+    st1 = create_train_state(model, tx, x[0], seed=0)
+    st1, aux1 = survival_train_superstep(st1, x, e, d, jax.random.key(0),
+                                         blend=False, augment=False)
+
+    # sharded run
+    mesh = make_mesh()
+    st2 = create_train_state(model, tx, x[0], seed=0)
+    st2 = st2.replace(
+        params=replicate(mesh, st2.params),
+        batch_stats=replicate(mesh, st2.batch_stats),
+        opt_state=replicate(mesh, st2.opt_state),
+    )
+    sh = NamedSharding(mesh, P(None, "data"))
+    xs = jax.device_put(x, sh)
+    es = jax.device_put(e, sh)
+    ds = jax.device_put(d, sh)
+    st2, aux2 = survival_train_superstep(st2, xs, es, ds, jax.random.key(0),
+                                         blend=False, augment=False)
+
+    assert float(aux1["loss"]) == pytest.approx(float(aux2["loss"]), rel=1e-4)
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5
+        ),
+        st1.params,
+        st2.params,
+    )
+
+
+def test_batch_shardings_layouts():
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    assert bs.spec == P("data")
+    ms = microbatched_sharding(mesh)
+    assert ms.spec == P(None, "data")
+
+
+def test_graft_dryrun_runs():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
