@@ -194,15 +194,25 @@ def main(argv=None) -> int:
                         hp.weight_decay)
     sample = jax.tree.map(lambda x: x[:1], train_ds.model_inputs())
     state = create_train_state(model, tx, sample, seed=hp.seed)
-    if mesh.devices.size > 1:
-        # Commit the state replicated on the mesh only when actually
+    def _commit(st):
+        # Commit the whole state replicated on the mesh only when actually
         # distributed; on a single chip committed-vs-uncommitted sharding
         # mismatches force a host round-trip of the state every step.
-        state = state.replace(
-            params=replicate(mesh, state.params),
-            batch_stats=replicate(mesh, state.batch_stats),
-            opt_state=replicate(mesh, state.opt_state),
+        # Replicating everything (incl. step/epoch/rng) keeps all leaves on
+        # identical device sets — jit rejects mixed placements.
+        if mesh.devices.size <= 1:
+            return st
+        return st.replace(
+            step=replicate(mesh, st.step),
+            epoch=replicate(mesh, st.epoch),
+            params=replicate(mesh, st.params),
+            batch_stats=replicate(mesh, st.batch_stats),
+            opt_state=replicate(mesh, st.opt_state),
+            blend=replicate(mesh, st.blend),
+            rng=replicate(mesh, st.rng),
         )
+
+    state = _commit(state)
 
     # Weight loading: trained weights for inference, pretrained otherwise
     weights_path = (hp.model_weights if args.inference else
@@ -256,7 +266,7 @@ def main(argv=None) -> int:
         mgr = ckpt_lib.CheckpointManager(args.checkpoint_dir)
         restored = mgr.restore(state)
         if restored is not None:
-            state = restored
+            state = _commit(restored)
             logger.info(f"Resumed from step {int(state.step)}")
 
     if args.lr_finder:

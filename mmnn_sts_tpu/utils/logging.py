@@ -14,11 +14,23 @@ import sys
 import time
 
 
+class _StdoutHandler(logging.StreamHandler):
+    """Resolves sys.stdout at emit time (plays well with capture/redirect)."""
+
+    @property
+    def stream(self):
+        return sys.stdout
+
+    @stream.setter
+    def stream(self, value):  # base-class ctor assigns; ignore
+        pass
+
+
 def get_logger(name: str = "mmnn_sts_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     if not logger.handlers:
         logger.setLevel(logging.DEBUG)
-        handler = logging.StreamHandler(sys.stdout)
+        handler = _StdoutHandler()
         handler.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(handler)
         logger.propagate = False

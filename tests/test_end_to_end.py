@@ -45,6 +45,12 @@ Hyperparameters:
   seed: 42
 """
         )
+    # write split files up front so tests are order-independent
+    from mmnn_sts_tpu.data.split import stratified_split
+    from mmnn_sts_tpu.data.tabular import load_clinical_arrays
+
+    arrays = load_clinical_arrays(paths["clinical"])
+    stratified_split(arrays.raw, uids, seed=42, output_dir=str(root))
     return {"root": str(root), "config": cfg_path, "paths": paths, "uids": uids}
 
 
@@ -141,24 +147,122 @@ def test_cli_survival_inference(cohort_cfg, tmp_path):
     ]
 
 
-def test_cli_bootstrap(cohort_cfg, tmp_path, caplog):
-    import logging
-
-    with caplog.at_level(logging.INFO, logger="mmnn_sts_tpu"):
-        rc = _run_cli(
-            [
-                "--inference",
-                "--survival",
-                "--preop",
-                "--bootstrap",
-                "--no_gradcam",
-                "--config",
-                cohort_cfg["config"],
-                "--output_path",
-                str(tmp_path),
-            ],
-            cohort_cfg["root"],
-        )
+def test_cli_postop_classification(cohort_cfg, tmp_path):
+    rc = _run_cli(
+        [
+            "--classification",
+            "--postop",
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+            "--epochs",
+            "1",
+            "--train_uid_location",
+            os.path.join(cohort_cfg["root"], "train_uids.txt"),
+            "--val_uid_location",
+            os.path.join(cohort_cfg["root"], "val_uids.txt"),
+        ],
+        cohort_cfg["root"],
+    )
     assert rc == 0
-    assert "Mean c indices" in caplog.text
-    assert "Std. devs" in caplog.text
+    assert (tmp_path / "model.npz").exists()
+
+
+def test_cli_radiomics_survival(cohort_cfg, tmp_path):
+    # synthesize a radiomics CSV joined on MRN
+    import pandas as pd
+
+    uids = cohort_cfg["uids"]
+    rng_l = np.random.default_rng(5)
+    rad = pd.DataFrame({"MRN": uids})
+    for i in range(6):
+        rad[f"original_firstorder_f{i}"] = rng_l.normal(size=len(uids))
+    rad["diagnostics_Versions_PyRadiomics"] = "v3"
+    rad_path = os.path.join(cohort_cfg["root"], "radiomics.csv")
+    rad.to_csv(rad_path, index=False)
+
+    rc = _run_cli(
+        [
+            "--survival",
+            "--radiomics",
+            "--preop",
+            "--rad_loc",
+            rad_path,
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+            "--epochs",
+            "1",
+            "--train_uid_location",
+            os.path.join(cohort_cfg["root"], "train_uids.txt"),
+            "--val_uid_location",
+            os.path.join(cohort_cfg["root"], "val_uids.txt"),
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+
+
+def test_cli_lr_finder(cohort_cfg, tmp_path):
+    rc = _run_cli(
+        [
+            "--classification",
+            "--preop",
+            "--lr_finder",
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(cohort_cfg["root"], "lr_finder.png"))
+
+
+def test_cli_resume_from_checkpoint(cohort_cfg, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    args = [
+        "--classification",
+        "--preop",
+        "--config",
+        cohort_cfg["config"],
+        "--output_path",
+        str(tmp_path),
+        "--epochs",
+        "1",
+        "--checkpoint_dir",
+        ckdir,
+        "--train_uid_location",
+        os.path.join(cohort_cfg["root"], "train_uids.txt"),
+        "--val_uid_location",
+        os.path.join(cohort_cfg["root"], "val_uids.txt"),
+    ]
+    assert _run_cli(args, cohort_cfg["root"]) == 0
+    assert os.path.isdir(ckdir) and len(os.listdir(ckdir)) > 0
+    # resume path restores without error
+    assert _run_cli(args + ["--resume"], cohort_cfg["root"]) == 0
+
+
+def test_cli_bootstrap(cohort_cfg, tmp_path, capfd):
+    rc = _run_cli(
+        [
+            "--inference",
+            "--survival",
+            "--preop",
+            "--bootstrap",
+            "--no_gradcam",
+            "--config",
+            cohort_cfg["config"],
+            "--output_path",
+            str(tmp_path),
+        ],
+        cohort_cfg["root"],
+    )
+    assert rc == 0
+    out = capfd.readouterr().out
+    assert "Mean c indices" in out
+    assert "Std. devs" in out
