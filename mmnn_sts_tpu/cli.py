@@ -102,6 +102,18 @@ def main(argv=None) -> int:
     assert any(task_flags), (
         "Must specify one of --classification , --survival , or --segmentation"
     )
+    if args.segmentation:
+        # The reference accepts --segmentation but has no segmentation
+        # training loop (its dataset class is also broken —
+        # /root/reference/data/ImageDatasets.py:295-308); the aligned
+        # (image, mask) cohort builder exists at
+        # data/images.build_segmentation_cohort for downstream use.
+        raise NotImplementedError(
+            "segmentation training is not implemented (the reference has no "
+            "segmentation loop either); use "
+            "mmnn_sts_tpu.data.images.build_segmentation_cohort to load "
+            "aligned image/mask cohorts"
+        )
 
     # Heavy imports deferred so --help stays fast.
     import jax
@@ -109,7 +121,7 @@ def main(argv=None) -> int:
     from .config import parse_config
     from .constants import SUPER_BATCH_SIZE
     from .models import build_model
-    from .parallel.mesh import make_mesh, replicate
+    from .parallel.mesh import make_mesh, maybe_initialize_distributed, replicate
     from .pipeline import (
         TaskFlags,
         load_cohort,
@@ -165,6 +177,10 @@ def main(argv=None) -> int:
 
     hp = cfg.hyperparameters
     os.makedirs(args.output_path, exist_ok=True)
+    if maybe_initialize_distributed():
+        logger.info(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()}"
+        )
     logger.info(f"devices: {jax.devices()}")
     mesh = make_mesh(cfg.tpu.mesh_shape, tuple(cfg.tpu.mesh_axes))
 

@@ -195,6 +195,37 @@ class ImageCohort:
         return int(idx[0])
 
 
+def build_segmentation_cohort(
+    patient_directory: str,
+    patient_key_csv: str,
+    spatial_size=C.SPATIAL_SIZE,
+) -> tuple[ImageCohort, ImageCohort]:
+    """(images, masks) cohorts for segmentation.
+
+    Parity note: the reference's ImageSegmentationDataset
+    (/root/reference/data/ImageDatasets.py:295-308) returns raw
+    (image, mask) SimpleITK pairs and its __init__ drops the required
+    patient_key argument (latent TypeError); no segmentation training loop
+    exists in the reference. Here the pairs are decoded and resized into
+    aligned cohort arrays ready for a segmentation model.
+    """
+    records = build_manifest(patient_directory, patient_key_csv)
+    imgs, masks, uids = [], [], []
+    for rec in records:
+        image = load_nifti(rec.image_path, dtype=np.float32)
+        mask = load_nifti(rec.mask_path, dtype=np.float32)
+        imgs.append(resize_volume(image, spatial_size)[..., None])
+        # nearest-equivalent for the binary mask: resize + re-binarize
+        masks.append((resize_volume(mask, spatial_size) > 0.5).astype(
+            np.float32)[..., None])
+        uids.append(rec.uid)
+    uids = np.asarray(uids, dtype=np.int64)
+    return (
+        ImageCohort(uids=uids, volumes=np.stack(imgs).astype(np.float32)),
+        ImageCohort(uids=uids, volumes=np.stack(masks).astype(np.float32)),
+    )
+
+
 def build_image_cohort(
     directories,
     patient_key_csv: str,

@@ -20,6 +20,14 @@ Integration: models/densenet.py uses this for the bottleneck stage when
 Config.tpu.use_pallas_fused_dense is set; numerics match the unfused path to
 float tolerance (tests/test_pallas.py), and interpret mode makes the same
 kernel runnable on CPU for tests.
+
+MEASURED RESULT (v5e single chip, densenet121-3d 64^3x2ch blend superstep,
+bf16): XLA path 16.8 ms/step vs 2.51 s/step with this kernel enabled — XLA's
+native conv+elementwise fusion wins decisively here (inserting a custom
+kernel 58x per microbatch forces (N,D,H,W,C)<->(M,C) relayouts and breaks
+producer/consumer fusion around every bottleneck). The kernel therefore
+stays OFF by default and exists as the measured-and-documented baseline for
+future Pallas work where XLA fusion genuinely falls short.
 """
 
 from __future__ import annotations

@@ -20,6 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed for multi-host (multi-slice) runs.
+
+    No-op unless the standard coordinator env vars are present
+    (JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES/JAX_PROCESS_ID], or a
+    supported cluster environment auto-detected by jax.distributed). The
+    reference never initialized its torch.distributed import
+    (/root/reference/main.py:12, SURVEY.md §2.8); here multi-host is one
+    env-var away: data-parallel batches shard over all processes' devices
+    and XLA routes the psum over ICI within a slice / DCN across slices.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(shape=None, axis_names=("data",), devices=None) -> Mesh:
     """Build a Mesh over the available devices.
 
