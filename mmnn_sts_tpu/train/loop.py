@@ -19,6 +19,7 @@ only shuffles indices, reads back epoch summaries, and writes artifacts.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -118,6 +119,8 @@ def train_survival(
             jax.profiler.start_trace(cfg.profile_dir)
 
         epoch_loss = 0.0
+        epoch_t0 = time.perf_counter()
+        epoch_samples = 0
         step_preds, step_events, step_durations = [], [], []
         for idx in batcher.epoch_indices(epoch):
             key, k = jax.random.split(key)
@@ -132,6 +135,7 @@ def train_survival(
                 augment=cfg.augment,
             )
             epoch_loss += float(aux["loss"])
+            epoch_samples += int(idx.size)
             step_preds.append(np.asarray(aux["preds"]))
             ncls = batch["events"].shape[-1]
             step_events.append(np.asarray(batch["events"]).reshape(-1, ncls))
@@ -151,9 +155,13 @@ def train_survival(
             train_c = [float("nan")] * head0.shape[1]
         train_cs.append(float(np.mean(train_c)))
 
+        epoch_dt = time.perf_counter() - epoch_t0
         epoch_loss /= train_ds.num_samples
         train_losses.append(epoch_loss)
-        logger.info(f"epoch {epoch + 1} average loss: {epoch_loss:.4f}")
+        logger.info(
+            f"epoch {epoch + 1} average loss: {epoch_loss:.4f} "
+            f"({epoch_samples / max(epoch_dt, 1e-9):.1f} samples/s)"
+        )
 
         # Validation
         if (epoch + 1) % cfg.val_interval == 0:
@@ -209,6 +217,8 @@ def train_survival(
                 train_c=train_cs[-1],
                 val_c=mean_c,
                 selection_loss=selection_loss,
+                epoch_seconds=epoch_dt,
+                samples_per_sec=epoch_samples / max(epoch_dt, 1e-9),
             )
 
         # Gradient-blender weight update

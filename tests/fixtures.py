@@ -21,26 +21,53 @@ DIAGNOSES = ["MFH", "Liposarcoma", "Synovial"]
 CHEMO = ["Yes", "No"]
 
 
-def make_clinical_csv(path: str, n: int = 24, seed: int = 0) -> list[int]:
+def make_clinical_csv(
+    path: str, n: int = 24, seed: int = 0, signal: bool = False
+) -> list[int]:
+    """signal=True draws survival times from a hazard that actually depends
+    on (TumorGrade, TumorVolume, Age), so a working training pipeline must
+    reach above-chance C-index on held-out patients."""
     rng = np.random.default_rng(seed)
     uids = (1000 + np.arange(n)).tolist()
     surgery = pd.Timestamp("2015-01-01")
-    dm_event = rng.random(n) < 0.5
-    futime = rng.integers(100, 3000, size=n)
-    met_days = rng.integers(50, 2000, size=n)
+    if signal:
+        grade = rng.integers(1, 4, n)
+        volume = rng.uniform(10, 2000, n).round(1)
+        age = rng.integers(20, 90, n)
+        risk = (
+            0.8 * (grade - 2)
+            + 1.2 * (np.log(volume) - np.log(300))
+            + 0.02 * (age - 55)
+        )
+        # exponential survival with hazard ~ exp(risk); censor at ~3000 days
+        t_event = rng.exponential(scale=900 * np.exp(-risk))
+        futime = np.minimum(t_event, rng.uniform(500, 3000, n)).astype(int) + 1
+        vital = (t_event <= futime).astype(int)
+        dm_event = rng.random(n) < (1 / (1 + np.exp(-risk)))
+        met_days = np.maximum(
+            (t_event * rng.uniform(0.3, 0.9, n)).astype(int), 10
+        )
+    else:
+        grade = rng.integers(1, 4, n)
+        volume = rng.uniform(10, 2000, n).round(1)
+        age = rng.integers(20, 90, n)
+        vital = rng.integers(0, 2, n)
+        dm_event = rng.random(n) < 0.5
+        futime = rng.integers(100, 3000, size=n)
+        met_days = rng.integers(50, 2000, size=n)
 
     frame = pd.DataFrame(
         {
             C.UID: uids,
             "Sex": rng.choice(SEXES, n),
-            "Age": rng.integers(20, 90, n),
+            "Age": age,
             "Location3": rng.choice(LOCATIONS, n),
             "Diagnosis": rng.choice(DIAGNOSES, n),
             "Chemo (Neoadjuvant)": rng.choice(CHEMO, n),
             "TumorSize": rng.uniform(1, 25, n).round(1),
-            "TumorVolume (cm^3)": rng.uniform(10, 2000, n).round(1),
+            "TumorVolume (cm^3)": volume,
             "TumorDepth (1 = deep to fascia, 0 = superficial) ": rng.integers(0, 2, n),
-            "TumorGrade": rng.integers(1, 4, n),
+            "TumorGrade": grade,
             "Metsatpresentation": rng.integers(0, 2, n),
             "RT Type (0 = preop, 1 = postop": rng.integers(0, 2, n),
             "Margin (negative==0, microscopically positive==1, grossly positive==2)":
@@ -52,7 +79,7 @@ def make_clinical_csv(path: str, n: int = 24, seed: int = 0) -> list[int]:
                 )
             ],
             "LengthOR": rng.integers(60, 400, n),
-            "VitalStatus": rng.integers(0, 2, n),
+            "VitalStatus": vital,
             "Distant metastasis": dm_event.astype(int),
             "FUtime": futime,
             "Date of Distant Mets": [
