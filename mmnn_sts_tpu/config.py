@@ -40,6 +40,9 @@ class ImageModelConfig:
     spatial_dims: int = 3
     in_channels: int = 2
     dropout_prob: float = 0.2
+    # model input grid; the reference hardcodes 64^3 (main.py:60). Fixed at
+    # cohort-build time so every XLA program sees static shapes.
+    spatial_size: list[int] = field(default_factory=lambda: [64, 64, 64])
 
 
 @dataclass

@@ -33,6 +33,7 @@ class HostDataset:
     labels: np.ndarray | None = None
     events: np.ndarray | None = None
     durations: np.ndarray | None = None
+    mesh: object | None = None  # target mesh for prefetched placement
 
     @property
     def num_samples(self) -> int:

@@ -90,6 +90,7 @@ def load_cohort(cfg: Config, flags: TaskFlags) -> CohortBundle:
         images = build_image_cohort(
             image_path if isinstance(image_path, tuple) else [image_path],
             cfg.data.key_loc,
+            spatial_size=tuple(cfg.image_model.spatial_size),
             zero_slices=zero_slices,
         )
 
@@ -142,9 +143,16 @@ def resolve_splits(cfg: Config, flags: TaskFlags, bundle: CohortBundle, seed: in
 
 
 def make_split_dataset(
-    cfg: Config, flags: TaskFlags, bundle: CohortBundle, uids, mesh
-) -> DeviceDataset:
-    """Device-resident dataset for one UID list."""
+    cfg: Config,
+    flags: TaskFlags,
+    bundle: CohortBundle,
+    uids,
+    mesh,
+    device_resident: bool | None = None,
+):
+    """Dataset for one UID list: device-resident (default) or host-resident
+    with prefetched streaming when Config.tpu.device_resident_dataset is
+    false (cohorts larger than HBM)."""
     uids = [int(u) for u in uids if int(u) in set(int(x) for x in bundle.uids)]
     uids = np.asarray(uids, dtype=np.int64)
 
@@ -172,6 +180,25 @@ def make_split_dataset(
     if bundle.images is not None:
         img_order = {int(u): i for i, u in enumerate(bundle.images.uids)}
         volumes = bundle.images.volumes[[img_order[int(u)] for u in uids]]
+
+    if device_resident is None:
+        device_resident = cfg.tpu.device_resident_dataset
+    if not device_resident:
+        from .data.streaming import HostDataset
+
+        inputs = {}
+        if volumes is not None:
+            inputs["image"] = volumes.astype(np.float32)
+        if clinical_mat is not None:
+            inputs["clinical"] = clinical_mat.astype(np.float32)
+        return HostDataset(
+            uids=uids,
+            inputs=inputs,
+            labels=None if flags.survival else labels,
+            events=events if flags.survival else None,
+            durations=durations if flags.survival else None,
+            mesh=mesh,
+        )
 
     return build_device_dataset(
         uids,

@@ -75,6 +75,18 @@ class TrainResult:
     history: dict = field(default_factory=dict)
 
 
+def _epoch_batches(ds, batcher: EpochBatcher, epoch: int, mesh):
+    """Yield device batches for one epoch: direct gathers for device-resident
+    datasets, prefetched H2D streaming for host-resident ones."""
+    from ..data.streaming import HostDataset, prefetched_epoch
+
+    if isinstance(ds, HostDataset):
+        yield from prefetched_epoch(ds, batcher, epoch, mesh)
+    else:
+        for idx in batcher.epoch_indices(epoch):
+            yield gather_superbatch(ds, idx, mesh)
+
+
 def _flatten_epoch_preds(preds: np.ndarray, blend: bool) -> np.ndarray:
     """(steps, A, [K,] B, C) -> ([K,] N, C) concatenated along samples."""
     if blend:
@@ -122,9 +134,8 @@ def train_survival(
         epoch_t0 = time.perf_counter()
         epoch_samples = 0
         step_preds, step_events, step_durations = [], [], []
-        for idx in batcher.epoch_indices(epoch):
+        for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
             key, k = jax.random.split(key)
-            batch = gather_superbatch(train_ds, idx, mesh)
             state, aux = survival_train_superstep(
                 state,
                 batch["inputs"],
@@ -135,7 +146,7 @@ def train_survival(
                 augment=cfg.augment,
             )
             epoch_loss += float(aux["loss"])
-            epoch_samples += int(idx.size)
+            epoch_samples += int(batch["events"].size // batch["events"].shape[-1])
             step_preds.append(np.asarray(aux["preds"]))
             ncls = batch["events"].shape[-1]
             step_events.append(np.asarray(batch["events"]).reshape(-1, ncls))
@@ -300,9 +311,8 @@ def train_classification(
         fns = np.zeros(ncls)
         epoch_logits, epoch_labels = [], []
 
-        for idx in batcher.epoch_indices(epoch):
+        for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
             key, k = jax.random.split(key)
-            batch = gather_superbatch(train_ds, idx, mesh)
             state, aux = classification_train_step(
                 state,
                 batch["inputs"],
@@ -425,6 +435,9 @@ def train_classification(
     )
 
 
-def _mesh_of(ds: DeviceDataset):
+def _mesh_of(ds):
+    mesh = getattr(ds, "mesh", None)
+    if mesh is not None:
+        return mesh
     leaf = next(iter(ds.inputs.values()))
     return leaf.sharding.mesh

@@ -147,6 +147,79 @@ def test_cli_survival_inference(cohort_cfg, tmp_path):
     ]
 
 
+def test_cli_multimodal_images_survival_blend(cohort_cfg, tmp_path):
+    """Full multimodal path: T1/T2 NIfTI cohort + clinical, tinycnn at a
+    small grid, gradient blending, 1 epoch + inference with gradcam export."""
+    root = cohort_cfg["root"]
+    cfg_path = os.path.join(root, "config_img.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base = base.replace("name: 'tinydensenet'", "name: 'tinycnn'")
+    base = base.replace(
+        "  in_channels: 2\n", "  in_channels: 2\n  spatial_size: [16, 16, 16]\n"
+    )
+    with open(cfg_path, "w") as f:
+        f.write(base)
+
+    common = [
+        "--config", cfg_path,
+        "--train_uid_location", os.path.join(root, "train_uids.txt"),
+        "--val_uid_location", os.path.join(root, "val_uids.txt"),
+    ]
+    rc = _run_cli(
+        ["--images", "--preop", "--survival", "--blend", "--epochs", "1",
+         "--output_path", str(tmp_path)] + common,
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+    assert (tmp_path / "gblend_weights_history.csv").exists()
+
+    rc = _run_cli(
+        ["--inference", "--images", "--preop", "--survival", "--blend",
+         "--output_path", str(tmp_path / "inf")] + common,
+        root,
+    )
+    assert rc == 0
+    att = tmp_path / "inf" / "attention_maps"
+    assert att.is_dir() and len(list(att.iterdir())) > 0
+    patient_dir = sorted(att.iterdir())[0]
+    assert (patient_dir / "att_map.nii.gz").exists()
+    assert (patient_dir / "t1image.nii.gz").exists()
+    assert (patient_dir / "preds.txt").exists()
+
+
+def test_cli_streaming_dataset_mode(cohort_cfg, tmp_path):
+    """device_resident_dataset=false: host-resident splits with prefetched
+    H2D streaming through the same loops."""
+    root = cohort_cfg["root"]
+    cfg_path = os.path.join(root, "config_stream.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base += "\nTPU:\n  device_resident_dataset: false\n"
+    with open(cfg_path, "w") as f:
+        f.write(base)
+    rc = _run_cli(
+        [
+            "--survival",
+            "--preop",
+            "--epochs",
+            "1",
+            "--config",
+            cfg_path,
+            "--output_path",
+            str(tmp_path),
+            "--train_uid_location",
+            os.path.join(root, "train_uids.txt"),
+            "--val_uid_location",
+            os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+
+
 def test_cli_postop_classification(cohort_cfg, tmp_path):
     rc = _run_cli(
         [
