@@ -276,6 +276,7 @@ def main(argv=None) -> int:
         save_params_name=(
             "best_surv_model.npz" if flags.survival else "model.npz"
         ),
+        profile_dir=cfg.tpu.profile_dir,
     )
 
     if args.resume and args.checkpoint_dir:

@@ -32,7 +32,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 
 from ..constants import (
     CLASSIFICATION_THRESHOLD,

@@ -19,7 +19,7 @@ import numpy as np
 from . import constants as C
 from .config import Config, get_image_path
 from .data.images import ImageCohort, build_image_cohort
-from .data.loader import DeviceDataset, build_device_dataset
+from .data.loader import build_device_dataset
 from .data.radiomics import load_radiomics
 from .data.split import load_uids, stratified_split
 from .data.tabular import ClinicalArrays, load_clinical_arrays

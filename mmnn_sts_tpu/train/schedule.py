@@ -16,6 +16,10 @@ import optax
 
 def onecycle(lr: float, steps_per_epoch: int, epochs: int) -> optax.Schedule:
     total = steps_per_epoch * epochs
+    # optax's piecewise boundaries floor to ints: a warmup interval of
+    # int(0.3 * total) == 0 steps divides by zero and poisons the whole run
+    # with NaN learning rates — guard very short runs (e.g. smoke tests).
+    total = max(total, 4)
     return optax.cosine_onecycle_schedule(
         transition_steps=total,
         peak_value=lr,

@@ -320,6 +320,44 @@ def test_cli_resume_from_checkpoint(cohort_cfg, tmp_path):
     assert _run_cli(args + ["--resume"], cohort_cfg["root"]) == 0
 
 
+def test_cli_inference_with_trained_weights(cohort_cfg, tmp_path):
+    """Train -> inference loading the saved .npz through the config's
+    model_weights (weight-load path parity, /root/reference/main.py:1001)."""
+    root = cohort_cfg["root"]
+    out = tmp_path / "train"
+    rc = _run_cli(
+        [
+            "--survival", "--preop", "--epochs", "1",
+            "--config", cohort_cfg["config"],
+            "--output_path", str(out),
+            "--train_uid_location", os.path.join(root, "train_uids.txt"),
+            "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    weights = out / "best_surv_model.npz"
+    assert weights.exists()
+
+    cfg_path = os.path.join(root, "config_w.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base += f"\n  model_weights: '{weights}'\n"
+    # append under Hyperparameters: last section in the base config
+    with open(cfg_path, "w") as f:
+        f.write(base)
+    rc = _run_cli(
+        [
+            "--inference", "--survival", "--preop", "--no_gradcam",
+            "--config", cfg_path,
+            "--output_path", str(tmp_path / "inf"),
+        ],
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "inf" / "survival_model_predictions.csv").exists()
+
+
 def test_cli_bootstrap(cohort_cfg, tmp_path, capfd):
     rc = _run_cli(
         [
