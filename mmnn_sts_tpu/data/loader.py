@@ -35,6 +35,7 @@ class DeviceDataset:
     labels: jnp.ndarray | None = None  # (N, C) binary targets
     events: jnp.ndarray | None = None  # (N, C)
     durations: jnp.ndarray | None = None  # (N, C)
+    mesh: object | None = None
 
     @property
     def num_samples(self) -> int:
@@ -96,6 +97,7 @@ def build_device_dataset(
         labels=put(labels),
         events=put(events),
         durations=put(durations),
+        mesh=mesh,
     )
 
 
