@@ -391,6 +391,11 @@ def train_classification(
             )
 
         if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
+            # NOTE (intent vs reference): the reference feeds sigmoid probs
+            # (train) and thresholded 0/1 preds (val) back through
+            # BCEWithLogits for the blend update (/root/reference/main.py:222,
+            # 268, GradientBlender.py:113-117 — a double-sigmoid quirk);
+            # the evident intent — raw logits for both — is used here.
             logger.info("Updating gradient blender weights")
             tr_logits = np.concatenate(epoch_logits, axis=1 if cfg.blend else 0)
             tr_labels = np.concatenate(epoch_labels, axis=0)
