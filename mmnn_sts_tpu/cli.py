@@ -186,6 +186,11 @@ def main(argv=None) -> int:
 
     bundle = load_cohort(cfg, flags)
     train_uids, val_uids, test_uids = resolve_splits(cfg, flags, bundle, hp.seed)
+    if cfg.clinical_model.standardize:
+        from .pipeline import standardize_bundle
+
+        standardize_bundle(bundle, train_uids)
+        logger.info("standardized tabular predictors with train-split stats")
 
     # TrainState + optimizer
     train_ds = make_split_dataset(cfg, flags, bundle, train_uids, mesh)

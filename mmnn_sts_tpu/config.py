@@ -59,6 +59,10 @@ class ClinicalModelConfig:
     targets_binary: list[str] = field(default_factory=lambda: list(C.TARGETS_BINARY))
     targets_time: list[str] = field(default_factory=lambda: list(C.TARGETS_TIME))
     survival_start_date: str = "Surgery_Date"
+    # standardize predictors with TRAIN-split mean/std before training.
+    # Default False = reference parity (raw columns straight into the MLP,
+    # which makes untrained logits scale with TumorVolume ~1e3).
+    standardize: bool = False
 
 
 @dataclass

@@ -120,6 +120,31 @@ def load_cohort(cfg: Config, flags: TaskFlags) -> CohortBundle:
     )
 
 
+def standardize_bundle(bundle: CohortBundle, train_uids) -> CohortBundle:
+    """Standardize tabular predictors (clinical + radiomics) in place using
+    TRAIN-split statistics only (no leakage); NaNs are imputed to the train
+    mean (0 after standardization)."""
+    train_set = set(int(u) for u in train_uids)
+
+    def _fit_apply(matrix, uids):
+        rows = [i for i, u in enumerate(uids) if int(u) in train_set]
+        train = matrix[rows]
+        mu = np.nanmean(train, axis=0)
+        sd = np.nanstd(train, axis=0) + 1e-6
+        out = (matrix - mu) / sd
+        return np.nan_to_num(out, nan=0.0).astype(np.float32)
+
+    if bundle.clinical is not None:
+        bundle.clinical.predictors = _fit_apply(
+            bundle.clinical.predictors, bundle.clinical.uids
+        )
+    if bundle.radiomics_features is not None:
+        bundle.radiomics_features = _fit_apply(
+            bundle.radiomics_features, bundle.uids
+        )
+    return bundle
+
+
 def resolve_splits(cfg: Config, flags: TaskFlags, bundle: CohortBundle, seed: int):
     """(train_uids, val_uids, test_uids) via --split or the uid txt files
     (parity: /root/reference/main.py:347-351)."""

@@ -129,3 +129,23 @@ def test_build_image_cohort(cohort):
     assert cohort_arr.volumes.shape == (24, 12, 12, 12, 2)
     assert sorted(cohort_arr.uids.tolist()) == sorted(int(u) for u in uids)
     assert np.isfinite(cohort_arr.volumes).all()
+
+
+def test_standardize_bundle_train_stats_only(cohort):
+    from mmnn_sts_tpu.config import Config
+    from mmnn_sts_tpu.pipeline import TaskFlags, load_cohort, standardize_bundle
+
+    paths, uids = cohort
+    cfg = Config()
+    cfg.data.data_loc = paths["clinical"]
+    flags = TaskFlags(preop=True, survival=True)
+    bundle = load_cohort(cfg, flags)
+    train_uids = [int(u) for u in uids[:16]]
+    standardize_bundle(bundle, train_uids)
+    preds = bundle.clinical.predictors
+    assert np.isfinite(preds).all()
+    train_rows = [i for i, u in enumerate(bundle.clinical.uids)
+                  if int(u) in set(train_uids)]
+    # train rows have ~zero mean / unit std per non-constant column
+    mu = preds[train_rows].mean(axis=0)
+    assert np.abs(mu).max() < 0.3  # NaN-imputed columns shift slightly
