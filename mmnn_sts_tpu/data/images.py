@@ -108,6 +108,64 @@ def _anon_id_from_dirname(name: str) -> str:
     return anon.replace("scan_", "").replace(".nii.gz", "")
 
 
+def build_manifest_s3(
+    prefix: str,
+    patient_key_csv: str,
+    lister=None,
+    fetcher=None,
+) -> list[PatientRecord]:
+    """Manifest from an s3:// NIfTI prefix.
+
+    Parity with getNiftiFilenames (/root/reference/data/s3utils.py:190-226):
+    objects under the prefix pair up per patient as (scan_*.nii.gz image,
+    other .nii.gz mask); the anon id is the scan filename minus the 'scan_'
+    prefix/extension, truncated to its first two '-'-separated segments
+    (ImageDatasets.py:63-68). Remote objects are fetched to local temp files
+    so decode goes through the same (C++/numpy) path.
+
+    lister/fetcher are injectable for tests; defaults use utils.store
+    (boto3-gated).
+    """
+    from ..utils.store import fetch_to_local, list_prefix, read_csv_any
+
+    lister = lister or list_prefix
+    fetcher = fetcher or fetch_to_local
+    keys = [k for k in lister(prefix) if k.endswith((".nii", ".nii.gz"))]
+
+    groups: dict[str, dict] = {}
+    for key in keys:
+        fname = key.split("/")[-1]
+        if fname.startswith("scan"):
+            anon = _anon_id_from_dirname(fname)
+            groups.setdefault(anon, {})["image"] = key
+        else:
+            anon = _anon_id_from_dirname(fname.replace("mask_", ""))
+            groups.setdefault(anon, {})["mask"] = key
+
+    key_df = read_csv_any(patient_key_csv)
+    records = []
+    for anon in sorted(groups):
+        pair = groups[anon]
+        if "image" not in pair or "mask" not in pair:
+            continue
+        row = key_df.loc[key_df[C.ANON_UID] == anon]
+        if len(row) != 1:
+            raise InitializationError(
+                f"Could not find UID for patient {anon} - Ensure uid is in "
+                "the patient key"
+            )
+        bucket_root = prefix.split("//")[0] + "//" + prefix.split("//")[1].split("/")[0] if "//" in prefix else ""
+        records.append(
+            PatientRecord(
+                anon_id=anon,
+                uid=int(row[C.UID].item()),
+                image_path=fetcher(f"{bucket_root}/{pair['image']}" if bucket_root else pair["image"]),
+                mask_path=fetcher(f"{bucket_root}/{pair['mask']}" if bucket_root else pair["mask"]),
+            )
+        )
+    return records
+
+
 def build_manifest(patient_directory: str, patient_key_csv: str) -> list[PatientRecord]:
     """Scan a local patient directory tree into (uid, image, mask) records.
 

@@ -136,15 +136,21 @@ def save_nifti(path: str, data: np.ndarray, affine: np.ndarray | None = None):
 
 
 def save_attention_maps(
-    out_dir: str, t1: np.ndarray, t2: np.ndarray, att_map: np.ndarray, preds
+    out_dir: str,
+    t1: np.ndarray,
+    t2: np.ndarray,
+    att_map: np.ndarray,
+    preds,
+    preds_filename: str = "preds.txt",
 ):
-    """Per-patient attention-map artifact layout parity
-    (/root/reference/main.py:829-845): t1image.nii.gz, t2image.nii.gz,
-    att_map.nii.gz and a preds.txt with one value per line."""
+    """Per-patient attention-map artifact layout parity: t1image.nii.gz,
+    t2image.nii.gz, att_map.nii.gz plus a predictions txt — named preds.txt
+    for survival (/root/reference/main.py:843) and probabilities.txt for
+    classification (main.py:714)."""
     os.makedirs(out_dir, exist_ok=True)
     save_nifti(os.path.join(out_dir, "t1image.nii.gz"), t1)
     save_nifti(os.path.join(out_dir, "t2image.nii.gz"), t2)
     save_nifti(os.path.join(out_dir, "att_map.nii.gz"), att_map)
-    with open(os.path.join(out_dir, "preds.txt"), "w") as f:
+    with open(os.path.join(out_dir, preds_filename), "w") as f:
         for p in np.asarray(preds).reshape(-1):
             f.write(str(float(p)))

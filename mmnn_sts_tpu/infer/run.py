@@ -153,7 +153,8 @@ def inference_classification(state, ds: DeviceDataset, cfg: InferenceConfig):
 
     if cfg.gradcam:
         export_attention_maps(
-            state, ds, cfg, survival=False, pred_labels=pred_lbl, labels=labels
+            state, ds, cfg, survival=False, pred_labels=pred_lbl,
+            labels=labels, probs=probs,
         )
 
     tp = ((pred_lbl == 1) & (labels == 1)).sum(axis=0)
@@ -179,6 +180,7 @@ def export_attention_maps(
     survival: bool,
     pred_labels=None,
     labels=None,
+    probs=None,
 ):
     """Per-patient Grad-CAM NIfTI export.
 
@@ -218,6 +220,7 @@ def export_attention_maps(
         if survival or pred_labels is None:
             dirname = f"_patient_{uid}"
             preds_out = _forward_single(state, inputs, cfg.blend)
+            preds_filename = "preds.txt"
         else:
             correct = "".join(
                 "1" if pred_labels[i, c] == labels[i, c] else "0"
@@ -226,10 +229,12 @@ def export_attention_maps(
             lbl = "".join(str(int(x)) for x in labels[i])
             prd = "".join(str(int(x)) for x in pred_labels[i])
             dirname = f"{correct}_{lbl}_{prd}__patient_{uid}"
-            preds_out = pred_labels[i]
+            preds_out = probs[i] if probs is not None else pred_labels[i]
+            preds_filename = "probabilities.txt"
 
         save_attention_maps(
-            os.path.join(att_dir, dirname), t1, t2, maps[0], preds_out
+            os.path.join(att_dir, dirname), t1, t2, maps[0], preds_out,
+            preds_filename=preds_filename,
         )
 
 

@@ -83,3 +83,36 @@ def test_jit_compatible(rng):
     durations = jnp.arange(1.0, n + 1)
     events = jnp.ones(n)
     assert np.isfinite(float(f(log_h, events, durations)))
+
+
+def test_matches_torch_pycox_formula(rng):
+    """Independent torch implementation of the pycox CoxPHLoss formula:
+    sort by duration descending, logcumsumexp risk sets, divide by event
+    count — values AND input-gradients must agree."""
+    torch = pytest.importorskip("torch")
+
+    def torch_cox(log_h, events, durations):
+        idx = torch.argsort(durations, descending=True)
+        lh = log_h[idx]
+        ev = events[idx]
+        gamma = lh.max().detach()
+        log_cumsum = (lh - gamma).exp().cumsum(0).add(1e-7).log().add(gamma)
+        return -((lh - log_cumsum) * ev).sum() / ev.sum()
+
+    n = 24
+    log_h = rng.normal(size=n).astype(np.float32)
+    durations = rng.permutation(np.arange(1, n + 1)).astype(np.float32)
+    events = (rng.random(n) < 0.6).astype(np.float32)
+
+    t_lh = torch.tensor(log_h, requires_grad=True)
+    t_loss = torch_cox(t_lh, torch.tensor(events), torch.tensor(durations))
+    t_loss.backward()
+
+    got = float(cox_ph_loss(jnp.array(log_h), jnp.array(events),
+                            jnp.array(durations)))
+    assert got == pytest.approx(float(t_loss.detach()), rel=1e-5)
+
+    g = jax.grad(cox_ph_loss)(jnp.array(log_h), jnp.array(events),
+                              jnp.array(durations))
+    np.testing.assert_allclose(np.asarray(g), t_lh.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)

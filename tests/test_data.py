@@ -149,3 +149,30 @@ def test_standardize_bundle_train_stats_only(cohort):
     # train rows have ~zero mean / unit std per non-constant column
     mu = preds[train_rows].mean(axis=0)
     assert np.abs(mu).max() < 0.3  # NaN-imputed columns shift slightly
+
+
+def test_build_manifest_s3_with_fake_lister(cohort, tmp_path):
+    """S3 manifest parity using injected lister/fetcher (offline)."""
+    from mmnn_sts_tpu.data.images import build_manifest_s3
+
+    paths, uids = cohort
+    import os
+
+    local_files = {}
+    keys = []
+    for name in sorted(os.listdir(paths["t1"])):
+        pdir = os.path.join(paths["t1"], name)
+        for f in os.listdir(pdir):
+            key = f"cohort/t1/{f}"
+            keys.append(key)
+            local_files[key] = os.path.join(pdir, f)
+
+    records = build_manifest_s3(
+        "cohort/t1",
+        paths["key"],
+        lister=lambda p: keys,
+        fetcher=lambda k: local_files[k],
+    )
+    assert len(records) == 24
+    assert all(r.image_path.endswith(".nii.gz") for r in records)
+    assert sorted(r.uid for r in records) == sorted(int(u) for u in uids)
