@@ -77,6 +77,19 @@ def build_image_model(cfg: Config) -> nn.Module:
             out_channels=im.num_classes,
             dtype=dtype,
         )
+    if name.startswith("densenet169") or name.startswith("densenet264"):
+        # exported by the reference's vendored module (__all__,
+        # /root/reference/models/densenet.py:28-43) though not wired into
+        # its factory; standard block configs, vanilla head
+        block = (6, 12, 32, 32) if "169" in name else (6, 12, 64, 48)
+        return DenseNet(
+            spatial_dims=im.spatial_dims,
+            in_channels=im.in_channels,
+            out_channels=im.num_classes,
+            feature_channels=None,
+            block_config=block,
+            dtype=dtype,
+        )
     if name.startswith("seresnet50"):
         return SEResNet50(
             spatial_dims=im.spatial_dims,

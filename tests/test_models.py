@@ -141,3 +141,11 @@ def test_bfloat16_dtype_flag():
     cfg.tpu.compute_dtype = "bfloat16"
     model = build_image_model(cfg)
     assert model.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("name", ["densenet169", "densenet264"])
+def test_extra_densenets(name):
+    model = build_image_model(_cfg(name))
+    x = jnp.zeros((1, 32, 32, 32, 2))
+    out, _ = _shape_of(model, x, train=False)
+    assert out.shape == (1, 2)

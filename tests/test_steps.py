@@ -189,3 +189,23 @@ def test_bhb10k_import_maps_backbone(tmp_path):
     np.testing.assert_array_equal(
         new_p["feature_layer"]["kernel"], params["feature_layer"]["kernel"]
     )
+
+
+def test_training_is_deterministic_under_seed(rng):
+    """Same seed + same data -> bit-identical parameters after 3 supersteps
+    (full reproducibility; the reference could not replay runs)."""
+    x, e, d = _surv_batch(rng, a=2, b=4)
+
+    def run():
+        m = MLP(in_channels=5, out_channels=2, feature_channels=4,
+                dropout_prob=0.2)
+        st = create_train_state(m, make_optimizer(1e-2, 2, 3), x[0], seed=7)
+        key = jax.random.key(7)
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            st, _ = survival_train_superstep(st, x, e, d, k, blend=False,
+                                             augment=False)
+        return st.params
+
+    p1, p2 = run(), run()
+    jax.tree.map(np.testing.assert_array_equal, p1, p2)
