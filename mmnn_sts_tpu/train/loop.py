@@ -119,6 +119,7 @@ def train_survival(
     train_losses, val_losses = [], []
     train_cs, val_cs = [], []
     blend_history = [np.asarray(state.blend.weights)]
+    val_preds = None  # set on validation epochs; blend updates need it
 
     key = jax.random.key(cfg.seed)
     profiled = False
@@ -234,6 +235,15 @@ def train_survival(
 
         # Gradient-blender weight update
         if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
+            if val_preds is None:
+                # blend interval misaligned with val interval: compute fresh
+                # validation predictions (the reference validates every
+                # epoch so never hits this)
+                out = survival_eval_step(
+                    state, val_ds.model_inputs(), val_ds.events,
+                    val_ds.durations, blend=cfg.blend,
+                )
+                val_preds = np.asarray(out["preds"])
             logger.info("Updating gradient blender weights")
             tr_head = blending.surv_head_losses(
                 jnp.asarray(train_preds),
@@ -298,6 +308,7 @@ def train_classification(
     train_losses, val_losses = [], []
     train_f1s, val_f1s = [], []
     blend_history = [np.asarray(state.blend.weights)]
+    val_logits = None  # set on validation epochs; blend updates need it
 
     key = jax.random.key(cfg.seed)
 
@@ -397,13 +408,20 @@ def train_classification(
             # 268, GradientBlender.py:113-117 — a double-sigmoid quirk);
             # the evident intent — raw logits for both — is used here.
             logger.info("Updating gradient blender weights")
+            if val_logits is None:
+                out = classification_eval_step(
+                    state, val_ds.model_inputs(), val_ds.labels, pos_weight,
+                    blend=cfg.blend,
+                )
+                val_logits = np.asarray(out["preds"])
             tr_logits = np.concatenate(epoch_logits, axis=1 if cfg.blend else 0)
             tr_labels = np.concatenate(epoch_labels, axis=0)
             tr_head = blending.class_head_losses(
                 jnp.asarray(tr_logits), jnp.asarray(tr_labels), pos_weight
             )
             va_head = blending.class_head_losses(
-                jnp.asarray(val_logits), jnp.asarray(labels), pos_weight
+                jnp.asarray(val_logits), jnp.asarray(np.asarray(val_ds.labels)),
+                pos_weight,
             )
             new_blend = blending.blend_update(state.blend, tr_head, va_head, False)
             state = state.replace(blend=new_blend)
