@@ -149,12 +149,14 @@ def build_model(
                 "Image models used to build multimodal models must be one of "
                 "'tinycnn', 'tinydensenet' or 'densenet121'"
             )
-        predictors = list(cfg.clinical_model.pre_op_predictors)
-        if postop:
-            predictors += list(cfg.clinical_model.post_op_predictors)
+        if num_tabular_inputs is None:
+            predictors = list(cfg.clinical_model.pre_op_predictors)
+            if postop:
+                predictors += list(cfg.clinical_model.post_op_predictors)
+            num_tabular_inputs = len(predictors)
         return MultiModalModel(
             image_model=model,
-            num_clinical_inputs=len(predictors),
+            num_clinical_inputs=num_tabular_inputs,
             num_classes=cfg.image_model.num_classes,
             num_features=cfg.image_model.feature_layers,
             blend=blend,

@@ -149,3 +149,12 @@ def test_extra_densenets(name):
     x = jnp.zeros((1, 32, 32, 32, 2))
     out, _ = _shape_of(model, x, train=False)
     assert out.shape == (1, 2)
+
+
+def test_multimodal_width_from_dataset():
+    """images + clinical + radiomics: fusion MLP width follows the actual
+    tabular matrix, not the config's predictor list."""
+    cfg = _cfg("tinycnn")
+    model = build_model(cfg, images=True, preop=True, postop=False,
+                        blend=False, num_tabular_inputs=25)
+    assert model.num_clinical_inputs == 25
