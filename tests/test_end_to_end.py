@@ -220,6 +220,46 @@ def test_cli_streaming_dataset_mode(cohort_cfg, tmp_path):
     assert (tmp_path / "train_val_c_score.png").exists()
 
 
+def test_cli_trimodal_images_clinical_radiomics(cohort_cfg, tmp_path):
+    """images + preop + radiomics: radiomics features concatenate onto the
+    clinical branch of the fusion model."""
+    import pandas as pd
+
+    root = cohort_cfg["root"]
+    uids = cohort_cfg["uids"]
+    rng_l = np.random.default_rng(9)
+    rad = pd.DataFrame({"MRN": uids})
+    for i in range(5):
+        rad[f"original_glcm_f{i}"] = rng_l.normal(size=len(uids))
+    rad_path = os.path.join(root, "radiomics3.csv")
+    rad.to_csv(rad_path, index=False)
+
+    cfg_path = os.path.join(root, "config_tri.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base = base.replace("name: 'tinydensenet'", "name: 'tinycnn'")
+    base = base.replace(
+        "  in_channels: 2\n", "  in_channels: 2\n  spatial_size: [16, 16, 16]\n"
+    )
+    with open(cfg_path, "w") as f:
+        f.write(base)
+
+    rc = _run_cli(
+        [
+            "--images", "--preop", "--radiomics", "--survival",
+            "--rad_loc", rad_path,
+            "--epochs", "1",
+            "--config", cfg_path,
+            "--output_path", str(tmp_path),
+            "--train_uid_location", os.path.join(root, "train_uids.txt"),
+            "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+
+
 def test_cli_postop_classification(cohort_cfg, tmp_path):
     rc = _run_cli(
         [
