@@ -316,6 +316,7 @@ def train_classification(
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
         epoch_loss = 0.0
+        epoch_t0 = time.perf_counter()
         ncls = train_ds.labels.shape[-1]
         tps = np.zeros(ncls)
         fps = np.zeros(ncls)
@@ -346,9 +347,13 @@ def train_classification(
 
         f1s = f1_scores(tps, fps, fns)
         train_f1s.append(float(np.nanmean(f1s)))
+        epoch_dt = time.perf_counter() - epoch_t0
         epoch_loss /= train_ds.num_samples
         train_losses.append(epoch_loss)
-        logger.info(f"epoch {epoch + 1} average loss: {epoch_loss:.4f}")
+        logger.info(
+            f"epoch {epoch + 1} average loss: {epoch_loss:.4f} "
+            f"({train_ds.num_samples / max(epoch_dt, 1e-9):.1f} samples/s)"
+        )
 
         if (epoch + 1) % cfg.val_interval == 0:
             out = classification_eval_step(
@@ -399,6 +404,8 @@ def train_classification(
                 val_loss=test_loss,
                 train_f1=train_f1s[-1],
                 val_f1=mean_f1,
+                epoch_seconds=epoch_dt,
+                samples_per_sec=train_ds.num_samples / max(epoch_dt, 1e-9),
             )
 
         if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
