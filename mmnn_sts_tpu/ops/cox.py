@@ -66,6 +66,71 @@ def cox_ph_loss(
     return -pll / jnp.maximum(n_events, 1.0)
 
 
+def cox_ph_loss_efron(
+    log_h: jax.Array,
+    events: jax.Array,
+    durations: jax.Array,
+    eps: float = 1e-7,
+) -> jax.Array:
+    """Cox partial likelihood with Efron's tie correction (beyond-reference
+    capability; the reference/pycox formulation above ignores ties).
+
+    For a group of d tied event times with risk-set hazard sum S_R and
+    tied-event hazard sum S_D, each tied event l = 0..d-1 contributes
+    denominator log(S_R - (l/d) * S_D):
+
+        pll = sum_events [ log_h_i - log(S_R(t_i) - (l_i/d_i) S_D(t_i)) ]
+
+    Static-shape implementation: sort by duration descending; contiguous
+    equal-duration groups are reduced with cumulative sums + group-boundary
+    gathers (no dynamic shapes, jit/vmap/grad-safe).
+    """
+    log_h = log_h.reshape(-1).astype(jnp.float32)
+    events = events.reshape(-1).astype(jnp.float32)
+    durations = durations.reshape(-1)
+    n = log_h.shape[0]
+
+    order = jnp.argsort(-durations, stable=True)
+    lh = log_h[order]
+    ev = events[order]
+    dur = durations[order]
+
+    gamma = jax.lax.stop_gradient(jnp.max(lh))
+    w = jnp.exp(lh - gamma)  # scaled hazards
+
+    idx = jnp.arange(n)
+    # group starts where the (descending) duration changes
+    is_start = jnp.concatenate([jnp.ones((1,), bool), dur[1:] != dur[:-1]])
+    # index of each element's group start: running max of start positions
+    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    # index of each element's group END: next group's start - 1
+    is_end = jnp.concatenate([dur[1:] != dur[:-1], jnp.ones((1,), bool)])
+    rev_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, idx, n - 1), reverse=True
+    )
+
+    cum_w = jnp.cumsum(w)
+    cum_we = jnp.cumsum(w * ev)
+    cum_ev = jnp.cumsum(ev)
+
+    # risk-set sum for a group: cumulative hazard up to the group END
+    # (everything with duration >= t, ties included)
+    s_r = cum_w[rev_end]
+    # tied-event hazard sum within the group
+    start_off_we = jnp.where(start_idx > 0, cum_we[start_idx - 1], 0.0)
+    s_d = cum_we[rev_end] - start_off_we
+    # event count within the group and each event's rank l_i among them
+    start_off_ev = jnp.where(start_idx > 0, cum_ev[start_idx - 1], 0.0)
+    d_group = cum_ev[rev_end] - start_off_ev
+    l_i = cum_ev - start_off_ev - 1.0  # rank of THIS event (0-based)
+
+    frac = jnp.where(d_group > 0, l_i / jnp.maximum(d_group, 1.0), 0.0)
+    denom = jnp.log(jnp.maximum(s_r - frac * s_d, eps)) + gamma
+    pll = jnp.sum((lh - denom) * ev)
+    n_events = jnp.sum(ev)
+    return -pll / jnp.maximum(n_events, 1.0)
+
+
 def multi_cox_loss(
     log_h: jax.Array,
     events: jax.Array,

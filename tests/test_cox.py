@@ -116,3 +116,61 @@ def test_matches_torch_pycox_formula(rng):
                               jnp.array(durations))
     np.testing.assert_allclose(np.asarray(g), t_lh.grad.numpy(),
                                rtol=1e-4, atol=1e-6)
+
+
+def naive_efron(log_h, events, durations):
+    """Textbook Efron partial likelihood, explicit loops."""
+    log_h = np.asarray(log_h, dtype=np.float64)
+    events = np.asarray(events, dtype=np.float64)
+    durations = np.asarray(durations, dtype=np.float64)
+    pll = 0.0
+    for t in np.unique(durations[events == 1]):
+        tied = (durations == t) & (events == 1)
+        risk = durations >= t
+        d = int(tied.sum())
+        s_r = np.exp(log_h[risk]).sum()
+        s_d = np.exp(log_h[tied]).sum()
+        pll += log_h[tied].sum()
+        for l in range(d):
+            pll -= np.log(s_r - (l / d) * s_d)
+    return -pll / max(events.sum(), 1.0)
+
+
+def test_efron_matches_naive_with_ties(rng):
+    from mmnn_sts_tpu.ops.cox import cox_ph_loss_efron
+
+    n = 40
+    log_h = rng.normal(size=n)
+    durations = rng.integers(1, 8, size=n).astype(float)  # heavy ties
+    events = (rng.random(n) < 0.7).astype(float)
+    got = float(
+        cox_ph_loss_efron(jnp.array(log_h), jnp.array(events),
+                          jnp.array(durations))
+    )
+    want = naive_efron(log_h, events, durations)
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_efron_equals_breslow_without_ties(rng):
+    from mmnn_sts_tpu.ops.cox import cox_ph_loss_efron
+
+    n = 20
+    log_h = rng.normal(size=n)
+    durations = rng.permutation(np.arange(1, n + 1)).astype(float)
+    events = (rng.random(n) < 0.6).astype(float)
+    a = float(cox_ph_loss(jnp.array(log_h), jnp.array(events),
+                          jnp.array(durations)))
+    b = float(cox_ph_loss_efron(jnp.array(log_h), jnp.array(events),
+                                jnp.array(durations)))
+    assert a == pytest.approx(b, rel=1e-4)
+
+
+def test_efron_grad_finite(rng):
+    from mmnn_sts_tpu.ops.cox import cox_ph_loss_efron
+
+    n = 16
+    log_h = jnp.array(rng.normal(size=n))
+    durations = jnp.array(rng.integers(1, 5, size=n).astype(float))
+    events = jnp.array((rng.random(n) < 0.7).astype(float))
+    g = jax.grad(cox_ph_loss_efron)(log_h, events, durations)
+    assert np.isfinite(np.asarray(g)).all()
