@@ -282,6 +282,7 @@ def main(argv=None) -> int:
             "best_surv_model.npz" if flags.survival else "model.npz"
         ),
         profile_dir=cfg.tpu.profile_dir,
+        ties=hp.cox_ties,
     )
 
     if args.resume and args.checkpoint_dir:

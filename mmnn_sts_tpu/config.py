@@ -104,6 +104,9 @@ class HyperparametersConfig:
     num_gpus: int = 1  # kept for YAML contract parity; ignored on TPU
     pretrained_weights: str = ""
     model_weights: str = ""
+    # Cox partial-likelihood tie handling: "breslow" (reference/pycox
+    # formulation) or "efron" (tie-corrected, beyond-reference)
+    cox_ties: str = "breslow"
 
 
 @dataclass
@@ -205,6 +208,11 @@ def validate_config(cfg: Config) -> None:
     if cfg.tpu.compute_dtype not in ("float32", "bfloat16"):
         raise ConfigurationError(
             f"Unsupported compute_dtype: {cfg.tpu.compute_dtype}"
+        )
+    if cfg.hyperparameters.cox_ties not in ("breslow", "efron"):
+        raise ConfigurationError(
+            f"Unsupported cox_ties: {cfg.hyperparameters.cox_ties} "
+            "(options: 'breslow', 'efron')"
         )
 
 

@@ -54,18 +54,22 @@ def blend_init(num_heads: int) -> BlendState:
     )
 
 
-def surv_head_losses(preds, events, durations) -> jax.Array:
+def surv_head_losses(preds, events, durations, ties: str = "breslow") -> jax.Array:
     """Per-head summed multi-target Cox losses.
 
     Args:
       preds: (K, N, C) stacked head predictions.
       events, durations: (N, C).
+      ties: "breslow" | "efron" (see ops/cox.py).
     Returns: (K,) loss per head.
     """
-    return jax.vmap(multi_cox_loss, in_axes=(0, None, None))(preds, events, durations)
+    return jax.vmap(
+        lambda p: multi_cox_loss(p, events, durations, ties=ties)
+    )(preds)
 
 
-def blended_surv_loss(state: BlendState, preds, events, durations):
+def blended_surv_loss(state: BlendState, preds, events, durations,
+                      ties: str = "breslow"):
     """Weighted survival loss across heads.
 
     Parity: GradientBlender.computeLossSurv (GradientBlender.py:181-205) —
@@ -73,7 +77,7 @@ def blended_surv_loss(state: BlendState, preds, events, durations):
     the unweighted multimodal-head loss used for best-model selection
     (/root/reference/main.py:572-577).
     """
-    head_losses = surv_head_losses(preds, events, durations)
+    head_losses = surv_head_losses(preds, events, durations, ties)
     total = jnp.sum(jax.lax.stop_gradient(state.weights) * head_losses)
     return total, head_losses[0]
 

@@ -136,18 +136,23 @@ def multi_cox_loss(
     events: jax.Array,
     durations: jax.Array,
     eps: float = 1e-7,
+    ties: str = "breslow",
 ) -> jax.Array:
     """Sum of independent Cox losses over C target columns.
 
     Parity: the reference's `surv_criterion` loops over `preds.shape[1]` and
     sums one CoxPH loss per class (/root/reference/utils/utils.py:24-29).
 
+    ties: "breslow" (reference/pycox formulation) or "efron" (tie-corrected,
+    beyond-reference; select via Hyperparameters.cox_ties).
+
     Args:
       log_h: (N, C) log hazard predictions.
       events: (N, C) event indicators.
       durations: (N, C) durations.
     """
-    per_class = jax.vmap(cox_ph_loss, in_axes=(1, 1, 1, None))(
+    fn = cox_ph_loss_efron if ties == "efron" else cox_ph_loss
+    per_class = jax.vmap(fn, in_axes=(1, 1, 1, None))(
         log_h, events, durations, eps
     )
     return jnp.sum(per_class)

@@ -65,6 +65,7 @@ class LoopConfig:
     save_params_name: str = ""
     metrics_path: str = "metrics.jsonl"
     profile_dir: str = ""
+    ties: str = "breslow"  # Cox tie handling: "breslow" | "efron"
 
 
 @dataclass
@@ -145,6 +146,7 @@ def train_survival(
                 k,
                 blend=cfg.blend,
                 augment=cfg.augment,
+                ties=cfg.ties,
             )
             epoch_loss += float(aux["loss"])
             epoch_samples += int(batch["events"].size // batch["events"].shape[-1])
@@ -183,6 +185,7 @@ def train_survival(
                 val_ds.events,
                 val_ds.durations,
                 blend=cfg.blend,
+                ties=cfg.ties,
             )
             val_preds = np.asarray(out["preds"])
             v_head0 = val_preds[0] if cfg.blend else val_preds
@@ -241,7 +244,7 @@ def train_survival(
                 # epoch so never hits this)
                 out = survival_eval_step(
                     state, val_ds.model_inputs(), val_ds.events,
-                    val_ds.durations, blend=cfg.blend,
+                    val_ds.durations, blend=cfg.blend, ties=cfg.ties,
                 )
                 val_preds = np.asarray(out["preds"])
             logger.info("Updating gradient blender weights")
@@ -249,11 +252,13 @@ def train_survival(
                 jnp.asarray(train_preds),
                 jnp.asarray(train_events),
                 jnp.asarray(train_durations),
+                ties=cfg.ties,
             )
             va_head = blending.surv_head_losses(
                 jnp.asarray(val_preds),
                 jnp.asarray(np.asarray(val_ds.events)),
                 jnp.asarray(np.asarray(val_ds.durations)),
+                ties=cfg.ties,
             )
             new_blend = blending.blend_update(state.blend, tr_head, va_head, True)
             state = state.replace(blend=new_blend)

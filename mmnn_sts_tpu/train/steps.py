@@ -68,7 +68,8 @@ def _tree_zeros_like(t):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("blend", "augment", "ties"),
+         donate_argnums=(0,))
 def survival_train_superstep(
     state: TrainState,
     inputs: Any,  # leaves (A, B, ...) — A microbatches of B samples
@@ -77,6 +78,7 @@ def survival_train_superstep(
     key: jax.Array,
     blend: bool = False,
     augment: bool = True,
+    ties: str = "breslow",
 ):
     """One optimizer update over A accumulated microbatches.
 
@@ -97,9 +99,10 @@ def survival_train_superstep(
             mutable=["batch_stats"],
         )
         if blend:
-            loss, _selection = blended_surv_loss(state.blend, out, mb_e, mb_d)
+            loss, _selection = blended_surv_loss(state.blend, out, mb_e, mb_d,
+                                                 ties)
         else:
-            loss = multi_cox_loss(out, mb_e, mb_d)
+            loss = multi_cox_loss(out, mb_e, mb_d, ties=ties)
         return loss, (mutated["batch_stats"], out)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -122,22 +125,24 @@ def survival_train_superstep(
     return new_state, {"loss": loss_sum, "preds": outs}
 
 
-@partial(jax.jit, static_argnames=("blend",))
+@partial(jax.jit, static_argnames=("blend", "ties"))
 def survival_eval_step(
     state: TrainState,
     inputs: Any,  # leaves (B, ...)
     events: jax.Array,
     durations: jax.Array,
     blend: bool = False,
+    ties: str = "breslow",
 ):
     """Validation forward pass (running BN stats, no dropout)."""
     inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     out = state.apply_fn(variables, inputs, train=False)
     if blend:
-        loss, selection = blended_surv_loss(state.blend, out, events, durations)
+        loss, selection = blended_surv_loss(state.blend, out, events, durations,
+                                            ties)
     else:
-        loss = multi_cox_loss(out, events, durations)
+        loss = multi_cox_loss(out, events, durations, ties=ties)
         selection = loss
     return {"loss": loss, "selection_loss": selection, "preds": out}
 
