@@ -142,15 +142,23 @@ def save_attention_maps(
     att_map: np.ndarray,
     preds,
     preds_filename: str = "preds.txt",
+    extra_maps=None,
 ):
     """Per-patient attention-map artifact layout parity: t1image.nii.gz,
     t2image.nii.gz, att_map.nii.gz plus a predictions txt — named preds.txt
     for survival (/root/reference/main.py:843) and probabilities.txt for
-    classification (main.py:714)."""
+    classification (main.py:714).
+
+    extra_maps: optional {class_index: volume} of additional per-class maps
+    saved as att_map_cls{i}.nii.gz — the reference only exports class 0 and
+    notes "ideally we'd save each separately" (main.py:827); this implements
+    that intent without changing the class-0 contract."""
     os.makedirs(out_dir, exist_ok=True)
     save_nifti(os.path.join(out_dir, "t1image.nii.gz"), t1)
     save_nifti(os.path.join(out_dir, "t2image.nii.gz"), t2)
     save_nifti(os.path.join(out_dir, "att_map.nii.gz"), att_map)
+    for cls, vol in (extra_maps or {}).items():
+        save_nifti(os.path.join(out_dir, f"att_map_cls{cls}.nii.gz"), vol)
     with open(os.path.join(out_dir, preds_filename), "w") as f:
         for p in np.asarray(preds).reshape(-1):
             f.write(str(float(p)))

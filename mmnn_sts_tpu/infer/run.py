@@ -235,6 +235,7 @@ def export_attention_maps(
         save_attention_maps(
             os.path.join(att_dir, dirname), t1, t2, maps[0], preds_out,
             preds_filename=preds_filename,
+            extra_maps={c: maps[c] for c in range(1, maps.shape[0])},
         )
 
 

@@ -189,6 +189,29 @@ def test_cli_multimodal_images_survival_blend(cohort_cfg, tmp_path):
     assert (patient_dir / "preds.txt").exists()
 
 
+def test_cli_efron_ties(cohort_cfg, tmp_path):
+    """Hyperparameters.cox_ties: efron trains end-to-end through the YAML."""
+    root = cohort_cfg["root"]
+    cfg_path = os.path.join(root, "config_efron.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base += "  cox_ties: 'efron'\n"  # appended inside Hyperparameters
+    with open(cfg_path, "w") as f:
+        f.write(base)
+    rc = _run_cli(
+        [
+            "--survival", "--preop", "--epochs", "1",
+            "--config", cfg_path,
+            "--output_path", str(tmp_path),
+            "--train_uid_location", os.path.join(root, "train_uids.txt"),
+            "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+
+
 def test_cli_streaming_dataset_mode(cohort_cfg, tmp_path):
     """device_resident_dataset=false: host-resident splits with prefetched
     H2D streaming through the same loops."""
