@@ -87,3 +87,55 @@ def test_graft_dryrun_runs():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_checkpoint_roundtrip_on_mesh(rng, tmp_path):
+    """Orbax save/restore of a mesh-replicated train state (multi-chip
+    checkpointing path)."""
+    from mmnn_sts_tpu.train import checkpoint as ckpt
+
+    a, b, f = 2, 8, 6
+    x = jnp.asarray(rng.normal(size=(a, b, f)).astype(np.float32))
+    e = jnp.asarray((rng.random((a, b, 2)) < 0.8).astype(np.float32))
+    d = jnp.asarray(rng.integers(1, 100, size=(a, b, 2)).astype(np.float32))
+
+    mesh = make_mesh()
+    model = MLP(in_channels=f, out_channels=2, feature_channels=4,
+                dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+
+    def committed_state(seed):
+        st = create_train_state(model, tx, x[0], seed=seed)
+        return st.replace(
+            step=replicate(mesh, st.step),
+            epoch=replicate(mesh, st.epoch),
+            params=replicate(mesh, st.params),
+            batch_stats=replicate(mesh, st.batch_stats),
+            opt_state=replicate(mesh, st.opt_state),
+            blend=replicate(mesh, st.blend),
+            rng=replicate(mesh, st.rng),
+        )
+
+    st = committed_state(0)
+    sh = NamedSharding(mesh, P(None, "data"))
+    st, _ = survival_train_superstep(
+        st, jax.device_put(x, sh), jax.device_put(e, sh),
+        jax.device_put(d, sh), jax.random.key(0), blend=False, augment=False,
+    )
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, st, {"selection_metric": 1.0})
+    mgr.wait()
+    restored = mgr.restore(committed_state(99))
+    assert restored is not None
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_array_equal(
+            np.asarray(p1), np.asarray(p2)
+        ),
+        restored.params,
+        st.params,
+    )
+    # restored leaves keep the replicated mesh sharding
+    leaf = jax.tree.leaves(restored.params)[0]
+    assert getattr(leaf.sharding, "mesh", None) is not None
+    mgr.close()
