@@ -19,3 +19,34 @@ Reference parity notes are cited per-module as /root/reference/<file>:<line>.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import mmnn_sts_tpu` light; heavy deps load
+    on first use)."""
+    _API = {
+        "parse_config": ("mmnn_sts_tpu.config", "parse_config"),
+        "Config": ("mmnn_sts_tpu.config", "Config"),
+        "build_model": ("mmnn_sts_tpu.models", "build_model"),
+        "build_image_model": ("mmnn_sts_tpu.models", "build_image_model"),
+        "TaskFlags": ("mmnn_sts_tpu.pipeline", "TaskFlags"),
+        "load_cohort": ("mmnn_sts_tpu.pipeline", "load_cohort"),
+        "make_split_dataset": ("mmnn_sts_tpu.pipeline", "make_split_dataset"),
+        "create_train_state": ("mmnn_sts_tpu.train.state", "create_train_state"),
+        "train_survival": ("mmnn_sts_tpu.train.loop", "train_survival"),
+        "train_classification": ("mmnn_sts_tpu.train.loop",
+                                 "train_classification"),
+        "LoopConfig": ("mmnn_sts_tpu.train.loop", "LoopConfig"),
+        "inference_survival": ("mmnn_sts_tpu.infer.run", "inference_survival"),
+        "inference_classification": ("mmnn_sts_tpu.infer.run",
+                                     "inference_classification"),
+        "InferenceConfig": ("mmnn_sts_tpu.infer.run", "InferenceConfig"),
+        "make_mesh": ("mmnn_sts_tpu.parallel.mesh", "make_mesh"),
+        "cli_main": ("mmnn_sts_tpu.cli", "main"),
+    }
+    if name in _API:
+        import importlib
+
+        module, attr = _API[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'mmnn_sts_tpu' has no attribute {name!r}")
