@@ -283,6 +283,7 @@ def main(argv=None) -> int:
         ),
         profile_dir=cfg.tpu.profile_dir,
         ties=hp.cox_ties,
+        eval_chunk=cfg.tpu.eval_chunk_size,
     )
 
     if args.resume and args.checkpoint_dir:
@@ -314,6 +315,9 @@ def main(argv=None) -> int:
             gradcam=(not args.no_gradcam) and flags.images,
             output_dir=args.output_path,
             seed=hp.seed,
+            eval_chunk=cfg.tpu.eval_chunk_size,
+            bucket=cfg.data.bucket,
+            dest_prefix=cfg.preprocessing.output_dir,
         )
         if flags.survival:
             inference_survival(state, test_ds, icfg)
@@ -325,4 +329,16 @@ def main(argv=None) -> int:
         train_survival(state, train_ds, val_ds, loop_cfg)
     else:
         train_classification(state, train_ds, val_ds, loop_cfg)
+
+    if cfg.data.bucket:
+        # post-training artifact upload (reference main.py:365-383);
+        # best-effort, swallowed failures
+        from .utils.store import train_artifact_names, upload_artifacts
+
+        upload_artifacts(
+            cfg.data.bucket,
+            args.output_path,
+            train_artifact_names(flags.survival, flags.blend),
+            cfg.preprocessing.output_dir,
+        )
     return 0

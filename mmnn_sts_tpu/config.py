@@ -29,6 +29,14 @@ class DataConfig:
     rad_loc: str = ""
     t1_path: str = "t1"
     t2_path: str = "t2"
+    # on-disk image format under image_loc: "nifti" (scan_*/mask .nii.gz per
+    # patient folder) or "dicom" (per-patient image/ + mask/ DICOM series,
+    # the reference's S3DicomDataset layout, ImageDatasets.py:101-126)
+    image_format: str = "nifti"
+    # post-run artifact upload target (reference BUCKET_NAME,
+    # /root/reference/main.py:63,365-383); empty = disabled. Artifacts land
+    # under <Preprocessing.output_dir>/<name> keys.
+    bucket: str = ""
 
 
 @dataclass
@@ -117,6 +125,9 @@ class TPUConfig:
     mesh_axes: list[str] = field(default_factory=lambda: ["data"])
     compute_dtype: str = "float32"  # or "bfloat16"
     device_resident_dataset: bool = True
+    # validation/inference forward chunk size; 0 = auto (whole split when
+    # device-resident, fixed chunks when streaming) — train/evaluate.py
+    eval_chunk_size: int = 0
     debug_nans: bool = False
     profile_dir: str = ""
     # Pallas fused BN+ReLU+1x1conv in DenseNet bottlenecks (perf option;
@@ -204,6 +215,11 @@ def validate_config(cfg: Config) -> None:
         raise ConfigurationError(
             "T1T2 ImageModel modality requires 2 input channels - current "
             f"number of in_channels: {cfg.image_model.in_channels}"
+        )
+    if cfg.data.image_format not in ("nifti", "dicom"):
+        raise ConfigurationError(
+            f"Unsupported Data.image_format: {cfg.data.image_format} "
+            "(options: 'nifti', 'dicom')"
         )
     if cfg.tpu.compute_dtype not in ("float32", "bfloat16"):
         raise ConfigurationError(

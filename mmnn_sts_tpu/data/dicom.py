@@ -38,6 +38,7 @@ class DicomSlice:
     rescale_slope: float = 1.0
     rescale_intercept: float = 0.0
     instance_number: int = 0
+    number_of_frames: int = 1  # >1: multi-frame file (e.g. DicomRT masks)
     position: tuple | None = None
     orientation: tuple | None = None
     pixel_data: bytes = b""
@@ -133,6 +134,11 @@ def read_dicom_file(path: str) -> DicomSlice:
                 s.instance_number = int(value.decode("ascii", "ignore").strip())
             except ValueError:
                 pass
+        elif tag == (0x0028, 0x0008):
+            try:
+                s.number_of_frames = int(value.decode("ascii", "ignore").strip())
+            except ValueError:
+                pass
         elif tag == (0x0020, 0x0032):
             parts = value.decode("ascii", "ignore").strip().split("\\")
             if len(parts) == 3:
@@ -149,35 +155,57 @@ def read_dicom_file(path: str) -> DicomSlice:
 
 
 def _slice_array(s: DicomSlice) -> np.ndarray:
+    """Pixel data -> (rows, cols) or, for multi-frame files (e.g. DicomRT
+    segmentation masks, which GDCM surfaced as 4D-with-singleton to the
+    reference — /root/reference/data/s3utils.py:261-265), (frames, rows, cols).
+    """
     if s.bits_allocated == 16:
         dtype = np.int16 if s.pixel_representation else np.uint16
     elif s.bits_allocated == 8:
         dtype = np.int8 if s.pixel_representation else np.uint8
     else:
         raise ValueError(f"unsupported BitsAllocated {s.bits_allocated}")
-    arr = np.frombuffer(s.pixel_data, dtype=dtype, count=s.rows * s.cols)
-    arr = arr.reshape(s.rows, s.cols).astype(np.float32)
+    frames = max(1, s.number_of_frames)
+    arr = np.frombuffer(s.pixel_data, dtype=dtype, count=frames * s.rows * s.cols)
+    if frames > 1:
+        arr = arr.reshape(frames, s.rows, s.cols).astype(np.float32)
+    else:
+        arr = arr.reshape(s.rows, s.cols).astype(np.float32)
     if s.rescale_slope != 1.0 or s.rescale_intercept != 0.0:
         arr = arr * s.rescale_slope + s.rescale_intercept
     return arr
 
 
-def load_dicom_series(directory: str) -> np.ndarray:
-    """Read all .dcm files in a directory into a (slices, rows, cols) volume."""
-    files = sorted(
-        os.path.join(directory, f)
-        for f in os.listdir(directory)
-        if not f.startswith(".") and f.lower().endswith((".dcm", ".ima"))
-    )
-    if not files:
+def load_dicom_series(path: str) -> np.ndarray:
+    """Read a DICOM series into a (slices, rows, cols) float32 volume.
+
+    `path` is a directory of single-frame slice files (sorted into a volume),
+    a directory containing one multi-frame file, or a single .dcm file
+    (multi-frame masks load as (frames, rows, cols); single-frame as
+    (1, rows, cols)). Covers readSitk's role
+    (/root/reference/data/s3utils.py:244-265) including the 4D-singleton
+    squeeze for DicomRT masks.
+    """
+    if os.path.isfile(path):
+        files = [path]
+    else:
         files = sorted(
-            os.path.join(directory, f)
-            for f in os.listdir(directory)
-            if not f.startswith(".") and os.path.isfile(os.path.join(directory, f))
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(".") and f.lower().endswith((".dcm", ".ima"))
         )
+        if not files:
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith(".") and os.path.isfile(os.path.join(path, f))
+            )
     slices = [read_dicom_file(f) for f in files]
     if not slices:
-        raise ValueError(f"no DICOM slices found in {directory}")
+        raise ValueError(f"no DICOM slices found in {path}")
+
+    if len(slices) == 1 and slices[0].number_of_frames > 1:
+        return _slice_array(slices[0])  # multi-frame file IS the volume
 
     if all(s.position is not None and s.orientation is not None for s in slices):
         normal = np.cross(
@@ -188,4 +216,7 @@ def load_dicom_series(directory: str) -> np.ndarray:
     else:
         slices.sort(key=lambda s: s.instance_number)
 
-    return np.stack([_slice_array(s) for s in slices], axis=0)
+    arrs = [_slice_array(s) for s in slices]
+    return np.concatenate(
+        [a[None] if a.ndim == 2 else a for a in arrs], axis=0
+    )

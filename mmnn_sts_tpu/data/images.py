@@ -101,11 +101,28 @@ class PatientRecord:
     uid: int
     image_path: str
     mask_path: str
+    format: str = "nifti"  # "nifti" (paths are files) | "dicom" (paths are
+    # series directories or single multi-frame files)
 
 
 def _anon_id_from_dirname(name: str) -> str:
     anon = "-".join(name.split("-")[:2])
     return anon.replace("scan_", "").replace(".nii.gz", "")
+
+
+def _uid_for_anon(key_df: pd.DataFrame, anon: str) -> int:
+    """Patient-key lookup: raw folder name first (the DICOM datasets use it
+    verbatim, /root/reference/data/ImageDatasets.py:90-99), then the
+    two-segment truncation the NIfTI datasets apply (ImageDatasets.py:63-68).
+    """
+    for candidate in (anon, _anon_id_from_dirname(anon)):
+        row = key_df.loc[key_df[C.ANON_UID] == candidate]
+        if len(row) == 1:
+            return int(row[C.UID].item())
+    raise InitializationError(
+        f"Could not find UID for patient {anon} - Ensure uid is in the "
+        "patient key"
+    )
 
 
 def build_manifest_s3(
@@ -208,6 +225,143 @@ def build_manifest(patient_directory: str, patient_key_csv: str) -> list[Patient
     return records
 
 
+def build_manifest_dicom(
+    patient_directory: str, patient_key_csv: str
+) -> list[PatientRecord]:
+    """Manifest from a local DICOM tree.
+
+    Layout (parity with S3DicomDataset's expected structure,
+    /root/reference/data/ImageDatasets.py:101-126): one folder per patient
+    (named by anon MRN) containing an `image` subdirectory (one .dcm per
+    slice) and a `mask` subdirectory (single DicomRT .dcm). A bare
+    image/mask pair of files or differently-named subdirs containing
+    'image'/'mask' also resolve.
+    """
+    key = pd.read_csv(patient_key_csv)
+    records = []
+    for name in sorted(os.listdir(patient_directory)):
+        if name.startswith("."):
+            continue
+        pdir = os.path.join(patient_directory, name)
+        if not os.path.isdir(pdir):
+            continue
+        image_path = mask_path = None
+        for entry in sorted(os.listdir(pdir)):
+            full = os.path.join(pdir, entry)
+            low = entry.lower()
+            if "image" in low:
+                image_path = full
+            elif "mask" in low:
+                mask_path = full
+        if image_path is None or mask_path is None:
+            continue
+        records.append(
+            PatientRecord(
+                anon_id=name,
+                uid=_uid_for_anon(key, name),
+                image_path=image_path,
+                mask_path=mask_path,
+                format="dicom",
+            )
+        )
+    return records
+
+
+def build_manifest_dicom_s3(
+    prefix: str,
+    patient_key_csv: str,
+    lister=None,
+    fetcher=None,
+) -> list[PatientRecord]:
+    """Manifest from an s3:// DICOM prefix.
+
+    Parity with parseS3ImageFolder + getDicomFilenames
+    (/root/reference/data/s3utils.py:25-70, 106-154): list all keys under the
+    prefix; the path segment after the prefix is the patient's anon MRN;
+    keys whose remainder contains 'image' are the per-slice files, 'mask'
+    the DicomRT mask; anything else raises (s3utils.py:151-153). Each
+    patient's objects are fetched into local per-patient image/mask
+    directories so decode goes through load_dicom_series.
+    """
+    import shutil
+    import tempfile
+
+    from ..utils.store import fetch_to_local, list_prefix, read_csv_any
+
+    lister = lister or list_prefix
+    fetcher = fetcher or fetch_to_local
+
+    bare = prefix.split("//", 1)[-1].split("/", 1)
+    bucket_root = (
+        prefix.split("//")[0] + "//" + bare[0] if "//" in prefix else ""
+    )
+    rel_prefix = bare[1] if "//" in prefix and len(bare) > 1 else prefix
+
+    dcm_dict: dict[str, dict[str, list[str]]] = {}
+    for key in lister(prefix):
+        trunc = key[len(rel_prefix):] if key.startswith(rel_prefix) else key
+        parts = [p for p in trunc.split("/") if p]
+        if not parts:
+            continue
+        anon = parts[0]
+        entry = dcm_dict.setdefault(anon, {"image": [], "mask": []})
+        if "image" in trunc:
+            entry["image"].append(key)
+        elif "mask" in trunc:
+            entry["mask"].append(key)
+        else:
+            raise InitializationError(
+                f"Could not initialize S3 DICOM dataset - Unable to parse S3 "
+                f"key {key}"
+            )
+
+    key_df = read_csv_any(patient_key_csv)
+    records = []
+    for anon in sorted(dcm_dict):
+        pair = dcm_dict[anon]
+        if not pair["image"] or not pair["mask"]:
+            continue
+        pdir = tempfile.mkdtemp(prefix=f"dicom_{anon}_")
+        img_dir = os.path.join(pdir, "image")
+        mask_dir = os.path.join(pdir, "mask")
+        os.makedirs(img_dir)
+        os.makedirs(mask_dir)
+        for bucket_keys, dest in ((pair["image"], img_dir),
+                                  (pair["mask"], mask_dir)):
+            for k in bucket_keys:
+                uri = f"{bucket_root}/{k}" if bucket_root else k
+                local = fetcher(uri)
+                shutil.move(local, os.path.join(dest, os.path.basename(k)))
+        records.append(
+            PatientRecord(
+                anon_id=anon,
+                uid=_uid_for_anon(key_df, anon),
+                image_path=img_dir,
+                mask_path=mask_dir,
+                format="dicom",
+            )
+        )
+    return records
+
+
+def _load_dicom_pair(rec: PatientRecord) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a DICOM patient into (image, binary mask) in image space.
+
+    Parity with S3DicomDataset.__getitem__
+    (/root/reference/data/ImageDatasets.py:136-162): the DicomRT mask is
+    resampled onto the image grid (sitk.Resample role -> trilinear resize
+    here) and rebinarized at >128 because interpolation makes the nominally
+    0/255 mask non-binary.
+    """
+    from .dicom import load_dicom_series
+
+    image = load_dicom_series(rec.image_path).astype(np.float32)
+    mask = load_dicom_series(rec.mask_path).astype(np.float32)
+    if mask.shape != image.shape:
+        mask = resize_volume(mask, image.shape)
+    return image, (mask > 128).astype(np.float32)
+
+
 def load_patient_volume(
     rec: PatientRecord,
     spatial_size=C.SPATIAL_SIZE,
@@ -218,20 +372,24 @@ def load_patient_volume(
 
     Uses the C++ fused decode/preprocess (data/native.py) when built; the
     numpy path below is the reference implementation it is tested against.
+    DICOM patients decode through the pure-python reader (data/dicom.py).
     """
-    if use_native:
-        from .native import preprocess_patient_native
+    if rec.format == "dicom":
+        image, mask = _load_dicom_pair(rec)
+    else:
+        if use_native:
+            from .native import preprocess_patient_native
 
-        try:
-            out = preprocess_patient_native(
-                rec.image_path, rec.mask_path, zero_slices, spatial_size
-            )
-            if out is not None:
-                return out
-        except IOError:
-            pass  # fall back to the numpy path for unsupported inputs
-    image = load_nifti(rec.image_path, dtype=np.float32)
-    mask = load_nifti(rec.mask_path, dtype=np.float32)
+            try:
+                out = preprocess_patient_native(
+                    rec.image_path, rec.mask_path, zero_slices, spatial_size
+                )
+                if out is not None:
+                    return out
+            except IOError:
+                pass  # fall back to the numpy path for unsupported inputs
+        image = load_nifti(rec.image_path, dtype=np.float32)
+        mask = load_nifti(rec.mask_path, dtype=np.float32)
     masked = apply_mask(image, mask, zero_slices=zero_slices)
     if any(s == 0 for s in masked.shape):
         # Fully-masked-out volume after cropping; fall back to zeros.
@@ -284,11 +442,27 @@ def build_segmentation_cohort(
     )
 
 
+def build_manifest_any(
+    directory: str, patient_key_csv: str, image_format: str = "nifti"
+) -> list[PatientRecord]:
+    """Manifest dispatch: {nifti, dicom} x {local, s3://} -> records."""
+    from ..utils.store import is_remote
+
+    if image_format == "dicom":
+        if is_remote(directory):
+            return build_manifest_dicom_s3(directory, patient_key_csv)
+        return build_manifest_dicom(directory, patient_key_csv)
+    if is_remote(directory):
+        return build_manifest_s3(directory, patient_key_csv)
+    return build_manifest(directory, patient_key_csv)
+
+
 def build_image_cohort(
     directories,
     patient_key_csv: str,
     spatial_size=C.SPATIAL_SIZE,
     zero_slices: str = "fill",
+    image_format: str = "nifti",
 ) -> ImageCohort:
     """Build the (N, *spatial, C) cohort array.
 
@@ -296,11 +470,15 @@ def build_image_cohort(
     T1/T2 are resized independently then stacked on the channel axis
     (parity: T1T2SurvivalDataset, ImageDatasets.py:578-640).
     Patients are restricted to the intersection of modalities' anon ids
-    (ImageDatasets.py:616).
+    (ImageDatasets.py:616). Each directory may be local or s3://, NIfTI
+    patient folders or DICOM series trees (image_format).
     """
     if isinstance(directories, (str, os.PathLike)):
         directories = [directories]
-    manifests = [build_manifest(d, patient_key_csv) for d in directories]
+    manifests = [
+        build_manifest_any(d, patient_key_csv, image_format)
+        for d in directories
+    ]
 
     common = set.intersection(*[{r.anon_id for r in m} for m in manifests])
     by_anon = [{r.anon_id: r for r in m} for m in manifests]

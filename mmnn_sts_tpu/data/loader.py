@@ -114,6 +114,10 @@ class EpochBatcher:
     micro_batch: int
     accum_steps: int = 1
     seed: int = 42
+    # survival supersteps always consume (accum, micro) two-level batches,
+    # even when accum_steps == 1 (lax.scan over one microbatch); set this so
+    # the layout matches the step's expectation regardless of accum count.
+    two_level: bool = False
     _epoch: int = field(default=0)
 
     def steps_per_epoch(self) -> int:
@@ -131,7 +135,7 @@ class EpochBatcher:
                 reps = int(np.ceil((total - len(order)) / len(order)))
                 pad = np.tile(order, reps)[: total - len(order)]
             order = np.concatenate([order, pad])
-        if self.accum_steps > 1:
+        if self.accum_steps > 1 or self.two_level:
             return order.reshape(-1, self.accum_steps, self.micro_batch)
         return order.reshape(-1, self.micro_batch)
 

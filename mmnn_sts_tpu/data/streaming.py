@@ -77,7 +77,7 @@ def prefetched_epoch(
     if n_dev == 1 or batcher.micro_batch % n_dev != 0:
         sharding = None  # replicate / auto-place (batch not divisible)
     else:
-        two_level = batcher.accum_steps > 1
+        two_level = batcher.accum_steps > 1 or batcher.two_level
         sharding = microbatched_sharding(mesh) if two_level else batch_sharding(mesh)
 
     def put(host_batch):

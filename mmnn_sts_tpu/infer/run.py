@@ -60,6 +60,13 @@ class InferenceConfig:
     output_dir: str = "."
     seed: int = 42
     save_preds: bool = True
+    # forward-pass chunk size; 0 = auto (whole split when device-resident,
+    # fixed chunks when streaming from host) — see train/evaluate.py
+    eval_chunk: int = 0
+    # post-inference prediction upload (reference main.py:877-880);
+    # empty bucket = disabled
+    bucket: str = ""
+    dest_prefix: str = "models"
 
 
 @jax.jit
@@ -80,19 +87,18 @@ def _bootstrap_cindices(preds, events, durations, counts):
     return cs.T, adms.T  # (R, C)
 
 
-def _forward_all(state, ds: DeviceDataset, blend: bool):
-    from ..train.steps import survival_eval_step
+def _forward_all(state, ds: DeviceDataset, blend: bool, chunk: int = 0):
+    from ..train.evaluate import survival_eval_split
 
-    out = survival_eval_step(
-        state, ds.model_inputs(), ds.events, ds.durations, blend=blend
-    )
-    preds = np.asarray(out["preds"])
+    out = survival_eval_split(state, ds, blend=blend, ties="breslow",
+                              chunk=chunk)
+    preds = out["preds"]
     return preds[0] if blend else preds
 
 
 def inference_survival(state, ds: DeviceDataset, cfg: InferenceConfig):
     """Survival inference over a device-resident test split."""
-    preds = _forward_all(state, ds, cfg.blend)
+    preds = _forward_all(state, ds, cfg.blend, chunk=cfg.eval_chunk)
     events = np.asarray(ds.events)
     durations = np.asarray(ds.durations)
 
@@ -131,21 +137,28 @@ def inference_survival(state, ds: DeviceDataset, cfg: InferenceConfig):
             events,
             durations,
         )
+        if cfg.bucket:
+            from ..utils.store import upload_artifacts
+
+            upload_artifacts(
+                cfg.bucket, cfg.output_dir,
+                ["survival_model_predictions.csv"], cfg.dest_prefix,
+            )
     return {"c_indices": c_indices, "preds": preds}
 
 
 def inference_classification(state, ds: DeviceDataset, cfg: InferenceConfig):
     """Classification inference (parity: /root/reference/main.py:605-747)."""
-    from ..train.steps import classification_eval_step
+    from ..train.evaluate import classification_eval_split
 
-    out = classification_eval_step(
+    out = classification_eval_split(
         state,
-        ds.model_inputs(),
-        ds.labels,
-        jnp.ones((ds.labels.shape[-1],)),
+        ds,
+        jnp.ones((int(np.asarray(ds.labels).shape[-1]),)),
         blend=cfg.blend,
+        chunk=cfg.eval_chunk,
     )
-    logits = np.asarray(out["preds"])
+    logits = out["preds"]
     head = logits[0] if cfg.blend else logits
     probs = 1.0 / (1.0 + np.exp(-head))
     pred_lbl = (probs > CLASSIFICATION_THRESHOLD).astype(np.float64)

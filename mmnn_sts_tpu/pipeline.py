@@ -21,7 +21,7 @@ from .config import Config, get_image_path
 from .data.images import ImageCohort, build_image_cohort
 from .data.loader import build_device_dataset
 from .data.radiomics import load_radiomics
-from .data.split import load_uids, stratified_split
+from .data.split import stratified_split
 from .data.tabular import ClinicalArrays, load_clinical_arrays
 from .exceptions import ConfigurationError
 from .utils.logging import get_logger
@@ -92,6 +92,7 @@ def load_cohort(cfg: Config, flags: TaskFlags) -> CohortBundle:
             cfg.data.key_loc,
             spatial_size=tuple(cfg.image_model.spatial_size),
             zero_slices=zero_slices,
+            image_format=cfg.data.image_format,
         )
 
     radiomics = None
@@ -158,10 +159,14 @@ def resolve_splits(cfg: Config, flags: TaskFlags, bundle: CohortBundle, seed: in
             uid_col=pp.uid,
             output_dir=".",
         )
-    train = load_uids(pp.train_uid_location)
-    val = load_uids(pp.val_uid_location)
+    # uid lists load transparently from local txt or s3:// URIs
+    # (parity: /root/reference/utils/utils.py:175-209)
+    from .utils.store import load_uids_any
+
+    train = load_uids_any(pp.train_uid_location)
+    val = load_uids_any(pp.val_uid_location)
     try:
-        test = load_uids(pp.test_uid_location)
+        test = load_uids_any(pp.test_uid_location)
     except FileNotFoundError:
         test = []
     return train, val, test

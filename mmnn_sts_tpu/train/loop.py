@@ -40,10 +40,9 @@ from ..utils.plotting import (
     save_f1_curves,
     save_loss_curves,
 )
+from .evaluate import classification_eval_split, survival_eval_split
 from .steps import (
-    classification_eval_step,
     classification_train_step,
-    survival_eval_step,
     survival_train_superstep,
 )
 
@@ -66,6 +65,9 @@ class LoopConfig:
     metrics_path: str = "metrics.jsonl"
     profile_dir: str = ""
     ties: str = "breslow"  # Cox tie handling: "breslow" | "efron"
+    # validation forward chunk size; 0 = auto (whole split when device-
+    # resident, DEFAULT_EVAL_CHUNK when streaming from host)
+    eval_chunk: int = 0
 
 
 @dataclass
@@ -98,6 +100,18 @@ def _flatten_epoch_preds(preds: np.ndarray, blend: bool) -> np.ndarray:
     return preds.reshape(s * a * b, c)
 
 
+def _dedup_epoch(flat_preds: np.ndarray, n: int, blend: bool) -> np.ndarray:
+    """Drop wrap-padded duplicate rows from the epoch prediction stream.
+
+    The epoch stream is the shuffled order followed by wrap-padding
+    (EpochBatcher.epoch_indices), so its first `n` rows are exactly the
+    unique samples. Epoch statistics (train C-index / F1, gradient-blend
+    updates) must exclude the pad or duplicated samples bias them relative
+    to the reference's ragged last batch (/root/reference/main.py:495-498).
+    """
+    return flat_preds[:, :n] if blend else flat_preds[:n]
+
+
 def train_survival(
     state,
     train_ds: DeviceDataset,
@@ -107,7 +121,8 @@ def train_survival(
     mesh = _mesh_of(train_ds)
     accum = max(1, cfg.super_batch // cfg.batch_size)
     batcher = EpochBatcher(
-        train_ds.num_samples, cfg.batch_size, accum, seed=cfg.seed
+        train_ds.num_samples, cfg.batch_size, accum, seed=cfg.seed,
+        two_level=True,
     )
     metrics = MetricsWriter(os.path.join(cfg.output_dir, cfg.metrics_path))
     manager = (
@@ -125,6 +140,12 @@ def train_survival(
     key = jax.random.key(cfg.seed)
     profiled = False
 
+    # Host snapshots of the targets: epoch statistics gather from these by
+    # index so the hot loop never reads a device array back per step.
+    host_events = np.asarray(train_ds.events)
+    host_durations = np.asarray(train_ds.durations)
+    n_unique = train_ds.num_samples
+
     for epoch in range(cfg.epochs):
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
@@ -132,10 +153,12 @@ def train_survival(
         if cfg.profile_dir and epoch == 1 and not profiled:
             jax.profiler.start_trace(cfg.profile_dir)
 
-        epoch_loss = 0.0
         epoch_t0 = time.perf_counter()
-        epoch_samples = 0
-        step_preds, step_events, step_durations = [], [], []
+        # Hot loop: everything stays on device; losses/preds are collected as
+        # device arrays and read back ONCE per epoch (the round-1 per-step
+        # float()/np.asarray syncs paid the ~10ms dispatch tunnel per step
+        # and dominated real epoch wall-clock — docs/PERF.md).
+        step_losses, step_preds = [], []
         for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
             key, k = jax.random.split(key)
             state, aux = survival_train_superstep(
@@ -148,20 +171,26 @@ def train_survival(
                 augment=cfg.augment,
                 ties=cfg.ties,
             )
-            epoch_loss += float(aux["loss"])
-            epoch_samples += int(batch["events"].size // batch["events"].shape[-1])
-            step_preds.append(np.asarray(aux["preds"]))
-            ncls = batch["events"].shape[-1]
-            step_events.append(np.asarray(batch["events"]).reshape(-1, ncls))
-            step_durations.append(np.asarray(batch["durations"]).reshape(-1, ncls))
+            step_losses.append(aux["loss"])
+            step_preds.append(aux["preds"])
+
+        # single epoch-end readback
+        epoch_loss, preds_host = jax.device_get(
+            (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_preds))
+        )
 
         if cfg.profile_dir and epoch == 1 and not profiled:
             jax.profiler.stop_trace()
             profiled = True
 
-        train_preds = _flatten_epoch_preds(np.stack(step_preds), cfg.blend)
-        train_events = np.concatenate(step_events)
-        train_durations = np.concatenate(step_durations)
+        flat_order = batcher.epoch_indices(epoch).reshape(-1)
+        epoch_samples = int(flat_order.size)
+        train_preds = _dedup_epoch(
+            _flatten_epoch_preds(np.asarray(preds_host), cfg.blend),
+            n_unique, cfg.blend,
+        )
+        train_events = host_events[flat_order[:n_unique]]
+        train_durations = host_durations[flat_order[:n_unique]]
         head0 = train_preds[0] if cfg.blend else train_preds
         try:
             train_c = c_indices_per_class(head0, train_events, train_durations)
@@ -170,7 +199,7 @@ def train_survival(
         train_cs.append(float(np.mean(train_c)))
 
         epoch_dt = time.perf_counter() - epoch_t0
-        epoch_loss /= train_ds.num_samples
+        epoch_loss = float(epoch_loss) / train_ds.num_samples
         train_losses.append(epoch_loss)
         logger.info(
             f"epoch {epoch + 1} average loss: {epoch_loss:.4f} "
@@ -179,15 +208,11 @@ def train_survival(
 
         # Validation
         if (epoch + 1) % cfg.val_interval == 0:
-            out = survival_eval_step(
-                state,
-                val_ds.model_inputs(),
-                val_ds.events,
-                val_ds.durations,
-                blend=cfg.blend,
-                ties=cfg.ties,
+            out = survival_eval_split(
+                state, val_ds, blend=cfg.blend, ties=cfg.ties,
+                chunk=cfg.eval_chunk,
             )
-            val_preds = np.asarray(out["preds"])
+            val_preds = out["preds"]
             v_head0 = val_preds[0] if cfg.blend else val_preds
             try:
                 c_indices = c_indices_per_class(
@@ -197,9 +222,9 @@ def train_survival(
                 c_indices = [float("nan")] * v_head0.shape[1]
             mean_c = float(np.mean(c_indices))
             val_cs.append(mean_c)
-            val_loss = float(out["loss"]) / val_ds.num_samples
+            val_loss = out["loss"] / val_ds.num_samples
             val_losses.append(val_loss)
-            selection_loss = float(out["selection_loss"])
+            selection_loss = out["selection_loss"]
             logger.info(f"All C-indexes: {c_indices}")
             logger.info(f"Mean C-index: {mean_c}")
             logger.info(f"validation loss: {val_loss}")
@@ -242,11 +267,11 @@ def train_survival(
                 # blend interval misaligned with val interval: compute fresh
                 # validation predictions (the reference validates every
                 # epoch so never hits this)
-                out = survival_eval_step(
-                    state, val_ds.model_inputs(), val_ds.events,
-                    val_ds.durations, blend=cfg.blend, ties=cfg.ties,
+                out = survival_eval_split(
+                    state, val_ds, blend=cfg.blend, ties=cfg.ties,
+                    chunk=cfg.eval_chunk,
                 )
-                val_preds = np.asarray(out["preds"])
+                val_preds = out["preds"]
             logger.info("Updating gradient blender weights")
             tr_head = blending.surv_head_losses(
                 jnp.asarray(train_preds),
@@ -316,18 +341,15 @@ def train_classification(
     val_logits = None  # set on validation epochs; blend updates need it
 
     key = jax.random.key(cfg.seed)
+    host_labels = np.asarray(train_ds.labels)
+    n_unique = train_ds.num_samples
 
     for epoch in range(cfg.epochs):
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
-        epoch_loss = 0.0
         epoch_t0 = time.perf_counter()
-        ncls = train_ds.labels.shape[-1]
-        tps = np.zeros(ncls)
-        fps = np.zeros(ncls)
-        fns = np.zeros(ncls)
-        epoch_logits, epoch_labels = [], []
-
+        # device-side collection; one readback per epoch (see train_survival)
+        step_losses, step_logits = [], []
         for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
             key, k = jax.random.split(key)
             state, aux = classification_train_step(
@@ -339,21 +361,35 @@ def train_classification(
                 blend=cfg.blend,
                 augment=cfg.augment,
             )
-            epoch_loss += float(aux["loss"])
-            out = np.asarray(aux["preds"])
-            labels = np.asarray(batch["labels"])
-            epoch_logits.append(out)
-            epoch_labels.append(labels)
-            probs = 1.0 / (1.0 + np.exp(-(out[0] if cfg.blend else out)))
-            pred_lbl = probs > CLASSIFICATION_THRESHOLD
-            tps += ((pred_lbl == 1) & (labels == 1)).sum(axis=0)
-            fps += ((pred_lbl == 1) & (labels == 0)).sum(axis=0)
-            fns += ((pred_lbl == 0) & (labels == 1)).sum(axis=0)
+            step_losses.append(aux["loss"])
+            step_logits.append(aux["preds"])
+
+        epoch_loss, logits_host = jax.device_get(
+            (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_logits))
+        )
+        flat_order = batcher.epoch_indices(epoch).reshape(-1)
+        logits_host = np.asarray(logits_host)
+        if cfg.blend:
+            # (S, K, B, C) -> (K, S*B, C)
+            s, kk, b, c = logits_host.shape
+            tr_logits = logits_host.transpose(1, 0, 2, 3).reshape(kk, s * b, c)
+        else:
+            s, b, c = logits_host.shape
+            tr_logits = logits_host.reshape(s * b, c)
+        tr_logits = _dedup_epoch(tr_logits, n_unique, cfg.blend)
+        tr_labels = host_labels[flat_order[:n_unique]]
+
+        head = tr_logits[0] if cfg.blend else tr_logits
+        probs = 1.0 / (1.0 + np.exp(-head))
+        pred_lbl = probs > CLASSIFICATION_THRESHOLD
+        tps = ((pred_lbl == 1) & (tr_labels == 1)).sum(axis=0)
+        fps = ((pred_lbl == 1) & (tr_labels == 0)).sum(axis=0)
+        fns = ((pred_lbl == 0) & (tr_labels == 1)).sum(axis=0)
 
         f1s = f1_scores(tps, fps, fns)
         train_f1s.append(float(np.nanmean(f1s)))
         epoch_dt = time.perf_counter() - epoch_t0
-        epoch_loss /= train_ds.num_samples
+        epoch_loss = float(epoch_loss) / train_ds.num_samples
         train_losses.append(epoch_loss)
         logger.info(
             f"epoch {epoch + 1} average loss: {epoch_loss:.4f} "
@@ -361,19 +397,16 @@ def train_classification(
         )
 
         if (epoch + 1) % cfg.val_interval == 0:
-            out = classification_eval_step(
-                state,
-                val_ds.model_inputs(),
-                val_ds.labels,
-                pos_weight,
-                blend=cfg.blend,
+            out = classification_eval_split(
+                state, val_ds, pos_weight, blend=cfg.blend,
+                chunk=cfg.eval_chunk,
             )
-            val_logits = np.asarray(out["preds"])
+            val_logits = out["preds"]
             labels = np.asarray(val_ds.labels)
             head = val_logits[0] if cfg.blend else val_logits
             probs = 1.0 / (1.0 + np.exp(-head))
             pred_lbl = (probs > CLASSIFICATION_THRESHOLD).astype(np.float64)
-            elementwise = np.asarray(out["elementwise"])
+            elementwise = out["elementwise"]
             tracker.update(pred_lbl, labels, elementwise)
             test_loss = float(elementwise.sum()) / val_ds.num_samples
             val_losses.append(test_loss)
@@ -421,13 +454,11 @@ def train_classification(
             # the evident intent — raw logits for both — is used here.
             logger.info("Updating gradient blender weights")
             if val_logits is None:
-                out = classification_eval_step(
-                    state, val_ds.model_inputs(), val_ds.labels, pos_weight,
-                    blend=cfg.blend,
+                out = classification_eval_split(
+                    state, val_ds, pos_weight, blend=cfg.blend,
+                    chunk=cfg.eval_chunk,
                 )
-                val_logits = np.asarray(out["preds"])
-            tr_logits = np.concatenate(epoch_logits, axis=1 if cfg.blend else 0)
-            tr_labels = np.concatenate(epoch_labels, axis=0)
+                val_logits = out["preds"]
             tr_head = blending.class_head_losses(
                 jnp.asarray(tr_logits), jnp.asarray(tr_labels), pos_weight
             )

@@ -108,18 +108,54 @@ def list_prefix(uri: str):
 
 def upload_artifacts(bucket: str, output_dir: str, filenames, dest_prefix: str):
     """Best-effort artifact upload; failures are logged and swallowed
-    (parity: /root/reference/main.py:380-383)."""
+    (parity: /root/reference/main.py:380-383).
+
+    filenames: iterable of local names, or (local_name, dest_name) pairs —
+    the reference renames some artifacts on upload (e.g. best_surv_model ->
+    model, main.py:370).
+    """
     if not HAVE_BOTO3:
         logger.info("Could not save to s3 bucket - no connection to S3")
         return False
     try:
         s3 = boto3.resource("s3")
         for name in filenames:
-            local = os.path.join(output_dir, name)
+            local_name, dest_name = (
+                name if isinstance(name, (tuple, list)) else (name, name)
+            )
+            local = os.path.join(output_dir, local_name)
             if os.path.exists(local):
-                s3.Bucket(bucket).upload_file(local, f"{dest_prefix}/{name}")
+                s3.Bucket(bucket).upload_file(
+                    local, f"{dest_prefix}/{dest_name}"
+                )
         return True
     except Exception as e:  # noqa: BLE001
         logger.info("Could not save to s3 bucket - no connection to S3")
         logger.info(str(e))
         return False
+
+
+def train_artifact_names(survival: bool, blend: bool):
+    """(local, dest) pairs the reference uploads after training
+    (/root/reference/main.py:365-379), with .pth weights as .npz here."""
+    if survival:
+        names = [
+            ("train_val_loss.png", "train_val_loss.png"),
+            # the reference keys the c-score curve as train_val_f1.png
+            # (main.py:369) — contract preserved
+            ("train_val_c_score.png", "train_val_f1.png"),
+            ("best_surv_model.npz", "model.npz"),
+        ]
+        if blend:
+            names.append(
+                ("gblend_weights_history.csv", "gblend_weights_history.csv")
+            )
+        return names
+    return [
+        ("train_val_loss.png", "train_val_loss.png"),
+        ("train_val_f1.png", "train_val_f1.png"),
+        ("model.npz", "model.npz"),
+        ("final_model.npz", "final_model.npz"),
+        ("val_loss_by_class.png", "val_loss_by_class.png"),
+        ("val_loss_by_cm.png", "val_loss_by_cm.png"),
+    ]

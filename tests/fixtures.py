@@ -8,11 +8,13 @@ pipeline can run hermetically.
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 import pandas as pd
 
 from mmnn_sts_tpu import constants as C
+from mmnn_sts_tpu.data.dicom import EXPLICIT_LE, IMPLICIT_LE
 from mmnn_sts_tpu.data.nifti import save_nifti
 
 SEXES = ["M", "F"]
@@ -112,6 +114,99 @@ def make_image_tree(root: str, anon_ids, shape=(18, 20, 16), seed: int = 0):
         mask[2:-2, 3:-3, 2:-2] = 1.0
         save_nifti(os.path.join(pdir, f"scan_{anon}.nii.gz"), img)
         save_nifti(os.path.join(pdir, f"mask_{anon}.nii.gz"), mask)
+
+
+# --- synthetic DICOM writers (explicit/implicit LE, uncompressed) ----------
+
+
+def dicom_el_explicit(group, element, vr, value: bytes) -> bytes:
+    if vr in (b"OB", b"OW", b"UT", b"UN"):
+        return struct.pack("<HH2sHI", group, element, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, element, vr, len(value)) + value
+
+
+def dicom_el_implicit(group, element, value: bytes) -> bytes:
+    return struct.pack("<HHI", group, element, len(value)) + value
+
+
+def dicom_meta(transfer_syntax: str) -> bytes:
+    ts = transfer_syntax.encode()
+    if len(ts) % 2:
+        ts += b"\x00"
+    return b"\x00" * 128 + b"DICM" + dicom_el_explicit(0x0002, 0x0010, b"UI", ts)
+
+
+def write_dicom_slice(path, pixel: np.ndarray, explicit=True, instance=1,
+                      z=0.0, slope=1.0, inter=0.0):
+    """One single-frame .dcm slice file (int16 pixels)."""
+    rows, cols = pixel.shape
+    parts = [dicom_meta(EXPLICIT_LE if explicit else IMPLICIT_LE)]
+    el = dicom_el_explicit if explicit else (
+        lambda g, e, vr, v: dicom_el_implicit(g, e, v)
+    )
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", 16)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1)))
+    if slope != 1.0 or inter != 0.0:
+        parts.append(el(0x0028, 0x1052, b"DS", str(inter).encode()))
+        parts.append(el(0x0028, 0x1053, b"DS", str(slope).encode()))
+    parts.append(el(0x7FE0, 0x0010, b"OW", pixel.astype("<i2").tobytes()))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
+def write_dicom_multiframe(path, volume: np.ndarray):
+    """One multi-frame .dcm file (the DicomRT-mask shape: 0/255 values)."""
+    frames, rows, cols = volume.shape
+    el = dicom_el_explicit
+    parts = [dicom_meta(EXPLICIT_LE)]
+    parts.append(el(0x0028, 0x0008, b"IS", str(frames).encode()))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", 16)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1)))
+    parts.append(el(0x7FE0, 0x0010, b"OW", volume.astype("<i2").tobytes()))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
+def make_dicom_tree(root: str, anon_ids, shape=(12, 14, 12), seed: int = 0):
+    """Per-patient DICOM layout (S3DicomDataset's expected structure,
+    /root/reference/data/ImageDatasets.py:101-126): <anon>/image/*.dcm
+    single-frame slices + <anon>/mask/mask.dcm multi-frame 0/255 DicomRT."""
+    rng = np.random.default_rng(seed)
+    for anon in anon_ids:
+        img_dir = os.path.join(root, anon, "image")
+        mask_dir = os.path.join(root, anon, "mask")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(mask_dir, exist_ok=True)
+        vol = (rng.normal(size=shape) ** 2 * 500).astype(np.int16)
+        for z in range(shape[0]):
+            write_dicom_slice(
+                os.path.join(img_dir, f"s{z:03d}.dcm"), vol[z],
+                instance=z + 1, z=float(z) * 2.0,
+            )
+        mask = np.zeros(shape, dtype=np.int16)
+        mask[2:-2, 3:-3, 2:-2] = 255
+        write_dicom_multiframe(os.path.join(mask_dir, "mask.dcm"), mask)
+
+
+def make_dicom_cohort(root: str, n: int = 24, seed: int = 0):
+    """clinical.csv + key.csv + t1/ t2/ DICOM trees (image_format: dicom)."""
+    os.makedirs(root, exist_ok=True)
+    clin = os.path.join(root, "clinical.csv")
+    key = os.path.join(root, "key.csv")
+    uids = make_clinical_csv(clin, n, seed)
+    anon = make_patient_key(key, uids)
+    t1 = os.path.join(root, "t1")
+    t2 = os.path.join(root, "t2")
+    make_dicom_tree(t1, anon, seed=seed + 1)
+    make_dicom_tree(t2, anon, seed=seed + 2)
+    return {"clinical": clin, "key": key, "t1": t1, "t2": t2, "root": root}, uids
 
 
 def make_full_cohort(root: str, n: int = 24, seed: int = 0):

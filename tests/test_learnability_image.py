@@ -1,0 +1,184 @@
+"""Image-branch learnability: with a KNOWN spatial risk signal planted in
+synthetic NIfTI volumes (lesion size drives the hazard), the image-only
+survival pipeline must (a) reach above-chance held-out C-index through the
+image encoder alone and (b) produce Grad-CAM attention that localizes the
+lesion (quantitative IoU / enrichment vs the ground-truth lesion mask).
+
+This closes VERDICT r1 weak-point 5: the round-1 learnability tests planted
+the signal only in clinical columns, so the image branch's contribution was
+never demonstrated. Ref: the published unimodal DenseNet row,
+/root/reference/README.md:50.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmnn_sts_tpu.data.images import build_image_cohort
+from mmnn_sts_tpu.data.loader import (
+    EpochBatcher,
+    build_device_dataset,
+    gather_superbatch,
+)
+from mmnn_sts_tpu.data.nifti import save_nifti
+from mmnn_sts_tpu.models.tinycnn import TinyCNN
+from mmnn_sts_tpu.ops.gradcam import attention_maps
+from mmnn_sts_tpu.ops.metrics import concordance_index
+from mmnn_sts_tpu.parallel.mesh import make_mesh
+from mmnn_sts_tpu.train.schedule import make_optimizer
+from mmnn_sts_tpu.train.state import create_train_state
+from mmnn_sts_tpu.train.steps import survival_eval_step, survival_train_superstep
+
+from fixtures import make_patient_key
+
+S = 16  # volume side; matches the model input grid so masks map exactly
+
+
+def _sphere_mask(center, radius, shape=(S, S, S)) -> np.ndarray:
+    zz, yy, xx = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
+    d2 = ((zz - center[0]) ** 2 + (yy - center[1]) ** 2
+          + (xx - center[2]) ** 2)
+    return (d2 <= radius ** 2).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def image_signal_cohort(tmp_path_factory):
+    """NIfTI tree where lesion radius r in [2, 5.5] sets the hazard:
+    duration ~ 6000 * r^-2 * noise, all events observed."""
+    root = str(tmp_path_factory.mktemp("imgsignal"))
+    rng = np.random.default_rng(11)
+    n = 48
+    uids = (2000 + np.arange(n)).tolist()
+    anon = make_patient_key(os.path.join(root, "key.csv"), uids)
+
+    radii, centers = [], []
+    tree = os.path.join(root, "t1")
+    for i, a in enumerate(anon):
+        pdir = os.path.join(tree, a)
+        os.makedirs(pdir)
+        r = rng.uniform(2.0, 5.5)
+        c = rng.uniform(5, S - 5, size=3)
+        vol = np.abs(rng.normal(0, 30, size=(S, S, S))).astype(np.float32)
+        lesion = _sphere_mask(c, r)
+        vol = vol + lesion * (800.0 + rng.normal(0, 40))
+        save_nifti(os.path.join(pdir, f"scan_{a}.nii.gz"), vol)
+        save_nifti(os.path.join(pdir, f"mask_{a}.nii.gz"),
+                   np.ones((S, S, S), dtype=np.float32))
+        radii.append(r)
+        centers.append(c)
+
+    radii = np.asarray(radii)
+    durations = (6000.0 * radii ** -2.0
+                 * rng.lognormal(0.0, 0.10, size=n)).astype(np.float32)
+    events = np.ones((n, 2), dtype=np.float32)
+    durations2 = np.stack([durations, durations], axis=1)
+
+    cohort = build_image_cohort(
+        tree, os.path.join(root, "key.csv"),
+        spatial_size=(S, S, S), zero_slices="fill",
+    )
+    # cohort order is sorted by anon id == generation order here
+    assert cohort.volumes.shape == (n, S, S, S, 1)
+    return {
+        "volumes": cohort.volumes,
+        "uids": cohort.uids,
+        "events": events,
+        "durations": durations2,
+        "radii": radii,
+        "centers": centers,
+    }
+
+
+@pytest.fixture(scope="module")
+def trained_image_model(image_signal_cohort):
+    d = image_signal_cohort
+    n = len(d["uids"])
+    rng = np.random.default_rng(0)
+    order = rng.permutation(n)
+    train_i, test_i = order[:36], order[36:]
+
+    mesh = make_mesh()
+    train_ds = build_device_dataset(
+        d["uids"][train_i], mesh, image_volumes=d["volumes"][train_i],
+        events=d["events"][train_i], durations=d["durations"][train_i],
+    )
+
+    model = TinyCNN(in_channels=1, out_channels=2, feature_channels=12,
+                    dropout_prob=0.0)
+    epochs, micro, accum = 30, 6, 2
+    batcher = EpochBatcher(train_ds.num_samples, micro, accum, seed=1,
+                           two_level=True)
+    tx = make_optimizer(3e-3, batcher.steps_per_epoch(), epochs)
+    state = create_train_state(
+        model, tx, jnp.asarray(d["volumes"][:2]), seed=0
+    )
+
+    key = jax.random.key(0)
+    for epoch in range(epochs):
+        for idx in batcher.epoch_indices(epoch):
+            key, k = jax.random.split(key)
+            batch = gather_superbatch(train_ds, idx, mesh)
+            state, _ = survival_train_superstep(
+                state, batch["inputs"], batch["events"], batch["durations"],
+                k, blend=False, augment=True,
+            )
+    return state, train_i, test_i
+
+
+def test_image_branch_learns_spatial_risk(image_signal_cohort,
+                                          trained_image_model):
+    d = image_signal_cohort
+    state, _, test_i = trained_image_model
+    out = survival_eval_step(
+        state,
+        jnp.asarray(d["volumes"][test_i]),
+        jnp.asarray(d["events"][test_i]),
+        jnp.asarray(d["durations"][test_i]),
+        blend=False,
+    )
+    preds = np.asarray(out["preds"])
+    # higher log-hazard = shorter survival; C-index on -log_h (see
+    # test_learnability.py for the convention note)
+    c = concordance_index(d["durations"][test_i, 0], -preds[:, 0],
+                          d["events"][test_i, 0])
+    assert c > 0.65, (
+        f"held-out image-only C-index {c:.3f} — the image branch did not "
+        "learn the planted lesion-size signal"
+    )
+
+
+def test_gradcam_localizes_lesion(image_signal_cohort, trained_image_model):
+    """Attention maps of the trained model concentrate on the lesion:
+    top-|lesion| voxels overlap the ground-truth sphere (IoU) and mean
+    attention inside the lesion is enriched over outside."""
+    d = image_signal_cohort
+    state, _, test_i = trained_image_model
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    from mmnn_sts_tpu.ops.augment import eval_transform
+
+    ious, enrichments = [], []
+    for i in np.asarray(test_i)[:6]:
+        lesion = _sphere_mask(d["centers"][i], d["radii"][i]) > 0
+        inp = jax.vmap(eval_transform)(jnp.asarray(d["volumes"][i:i + 1]))
+        maps = np.asarray(
+            attention_maps(state.apply_fn, variables, inp, num_classes=2)
+        )
+        att = maps[0]
+        k = int(lesion.sum())
+        thresh = np.partition(att.reshape(-1), -k)[-k]
+        top = att >= thresh
+        inter = (top & lesion).sum()
+        union = (top | lesion).sum()
+        ious.append(inter / union)
+        inside = att[lesion].mean()
+        outside = att[~lesion].mean()
+        enrichments.append(inside / max(outside, 1e-9))
+
+    assert np.mean(ious) > 0.15, f"mean Grad-CAM IoU {np.mean(ious):.3f}"
+    assert np.mean(enrichments) > 1.5, (
+        f"attention not enriched in lesion ({np.mean(enrichments):.2f}x)"
+    )

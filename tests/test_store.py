@@ -47,3 +47,98 @@ def test_fetch_local_passthrough(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"hi")
     assert store.fetch_to_local(str(p)) == str(p)
+
+class _FakeBucket:
+    def __init__(self, log):
+        self.log = log
+
+    def upload_file(self, local, key):
+        self.log.append((local, key))
+
+
+class _FakeS3:
+    def __init__(self, log):
+        self.log = log
+
+    def Bucket(self, name):  # noqa: N802 — boto3 API shape
+        self.log.append(("bucket", name))
+        return _FakeBucket(self.log)
+
+
+class _FakeBoto3:
+    def __init__(self):
+        self.log = []
+
+    def resource(self, kind):
+        assert kind == "s3"
+        return _FakeS3(self.log)
+
+
+def test_train_artifact_upload_key_layout(tmp_path, monkeypatch):
+    """Mocked boto3: survival train artifacts land under the reference's
+    key layout (/root/reference/main.py:365-373), including the
+    c_score->f1 rename and best_surv_model->model rename."""
+    fake = _FakeBoto3()
+    monkeypatch.setattr(store, "boto3", fake)
+    monkeypatch.setattr(store, "HAVE_BOTO3", True)
+    for name in ("train_val_loss.png", "train_val_c_score.png",
+                 "best_surv_model.npz", "gblend_weights_history.csv"):
+        (tmp_path / name).write_text("x")
+
+    ok = store.upload_artifacts(
+        "my-bucket", str(tmp_path),
+        store.train_artifact_names(survival=True, blend=True), "models/run1",
+    )
+    assert ok
+    keys = [k for op, k in fake.log if op != "bucket"]
+    assert keys == [
+        "models/run1/train_val_loss.png",
+        "models/run1/train_val_f1.png",
+        "models/run1/model.npz",
+        "models/run1/gblend_weights_history.csv",
+    ]
+    assert ("bucket", "my-bucket") in fake.log
+
+
+def test_classification_artifact_names():
+    names = dict(store.train_artifact_names(survival=False, blend=False))
+    assert names["model.npz"] == "model.npz"
+    assert "final_model.npz" in names
+    assert "val_loss_by_cm.png" in names
+
+
+def test_inference_upload_called(tmp_path, monkeypatch):
+    """inference_survival uploads survival_model_predictions.csv when a
+    bucket is configured (/root/reference/main.py:877-880)."""
+    fake = _FakeBoto3()
+    monkeypatch.setattr(store, "boto3", fake)
+    monkeypatch.setattr(store, "HAVE_BOTO3", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmnn_sts_tpu.data.loader import build_device_dataset
+    from mmnn_sts_tpu.infer.run import InferenceConfig, inference_survival
+    from mmnn_sts_tpu.models.mlp import MLP
+    from mmnn_sts_tpu.parallel.mesh import make_mesh
+    from mmnn_sts_tpu.train.state import create_train_state
+    import optax
+
+    rng = np.random.default_rng(0)
+    n, f = 8, 5
+    ds = build_device_dataset(
+        np.arange(n), make_mesh(),
+        clinical=rng.normal(size=(n, f)).astype(np.float32),
+        events=np.ones((n, 2), np.float32),
+        durations=np.arange(1, n + 1, dtype=np.float32)[:, None].repeat(2, 1),
+    )
+    state = create_train_state(
+        MLP(in_channels=f, out_channels=2, feature_channels=4,
+            dropout_prob=0.0),
+        optax.sgd(1e-2), jnp.zeros((2, f)), seed=0,
+    )
+    cfg = InferenceConfig(gradcam=False, output_dir=str(tmp_path),
+                          bucket="b", dest_prefix="models/x")
+    inference_survival(state, ds, cfg)
+    keys = [k for op, k in fake.log if op != "bucket"]
+    assert keys == ["models/x/survival_model_predictions.csv"]
