@@ -190,7 +190,9 @@ def build_manifest(patient_directory: str, patient_key_csv: str) -> list[Patient
     folder per patient; inside, the file starting with 'scan' is the image
     and any other NIfTI is the mask.
     """
-    key = pd.read_csv(patient_key_csv)
+    from ..utils.store import read_csv_any
+
+    key = read_csv_any(patient_key_csv)
     records = []
     for name in sorted(os.listdir(patient_directory)):
         if name.startswith("."):
@@ -237,7 +239,9 @@ def build_manifest_dicom(
     image/mask pair of files or differently-named subdirs containing
     'image'/'mask' also resolve.
     """
-    key = pd.read_csv(patient_key_csv)
+    from ..utils.store import read_csv_any
+
+    key = read_csv_any(patient_key_csv)
     records = []
     for name in sorted(os.listdir(patient_directory)):
         if name.startswith("."):

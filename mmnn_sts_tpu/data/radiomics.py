@@ -27,7 +27,9 @@ class RadiomicsArrays:
 
 def load_radiomics(radiomics_csv: str, exclude_columns=None, uid_col=C.UID):
     exclude = set(exclude_columns or C.RADIOMICS_EXCLUDE_COLUMNS)
-    table = pd.read_csv(radiomics_csv)
+    from ..utils.store import read_csv_any
+
+    table = read_csv_any(radiomics_csv)
     table = table.drop(columns=[c for c in exclude if c in table.columns])
     label_cols = [c for c in C.RADIOMICS_LABEL_COLUMNS if c in table.columns]
     table = table.drop(columns=label_cols)

@@ -51,7 +51,11 @@ def load_clinical(
     headers_to_convert = list(headers_to_convert or C.HEADERS_TO_CONVERT)
 
     usecols = pre_op + post_op + targets_binary + targets_time + [uid_col]
-    data = pd.read_csv(filename, usecols=lambda c: c in set(usecols))
+    # read_csv_any: transparent s3:// support (readCSVS3 parity,
+    # /root/reference/data/s3utils.py:12-23)
+    from ..utils.store import read_csv_any
+
+    data = read_csv_any(filename, usecols=lambda c: c in set(usecols))
 
     # Event-date columns -> days since surgery; FUtime is already numeric.
     date_cols = targets_time[1:]

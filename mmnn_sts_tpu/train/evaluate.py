@@ -19,6 +19,7 @@ host-resident splits default to chunks of DEFAULT_EVAL_CHUNK samples.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from .steps import classification_eval_step, survival_eval_step
@@ -56,10 +57,15 @@ def survival_eval_split(state, ds, blend: bool, ties: str, chunk: int = 0):
             state, ds.model_inputs(), ds.events, ds.durations,
             blend=blend, ties=ties,
         )
+        # one readback for all three outputs: every host transfer is a full
+        # dispatch-tunnel round-trip (docs/PERF.md)
+        preds, loss, sel = jax.device_get(
+            (out["preds"], out["loss"], out["selection_loss"])
+        )
         return {
-            "preds": np.asarray(out["preds"]),
-            "loss": float(out["loss"]),
-            "selection_loss": float(out["selection_loss"]),
+            "preds": np.asarray(preds),
+            "loss": float(loss),
+            "selection_loss": float(sel),
         }
 
     preds, loss, sel = [], 0.0, 0.0
@@ -94,10 +100,13 @@ def classification_eval_split(state, ds, pos_weight, blend: bool,
         out = classification_eval_step(
             state, ds.model_inputs(), ds.labels, pos_weight, blend=blend
         )
+        preds, elementwise, loss = jax.device_get(
+            (out["preds"], out["elementwise"], out["loss"])
+        )
         return {
-            "preds": np.asarray(out["preds"]),
-            "elementwise": np.asarray(out["elementwise"]),
-            "loss": float(out["loss"]),
+            "preds": np.asarray(preds),
+            "elementwise": np.asarray(elementwise),
+            "loss": float(loss),
         }
 
     preds, elementwise, loss = [], [], 0.0

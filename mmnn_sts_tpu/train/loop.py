@@ -42,7 +42,9 @@ from ..utils.plotting import (
 )
 from .evaluate import classification_eval_split, survival_eval_split
 from .steps import (
+    classification_train_epoch,
     classification_train_step,
+    survival_train_epoch,
     survival_train_superstep,
 )
 
@@ -137,8 +139,21 @@ def train_survival(
     blend_history = [np.asarray(state.blend.weights)]
     val_preds = None  # set on validation epochs; blend updates need it
 
-    key = jax.random.key(cfg.seed)
     profiled = False
+
+    from ..data.streaming import HostDataset
+
+    resident_train = not isinstance(train_ds, HostDataset)
+    resident_val = not isinstance(val_ds, HostDataset)
+    # Fused-validation epoch program: one dispatch + one readback per epoch.
+    # Falls back to separate eval when chunking was requested or a split
+    # streams from host.
+    fuse_val = resident_train and resident_val and not cfg.eval_chunk
+
+    # one split for the whole run: a single dispatch instead of per-epoch
+    # (per-step) eager key ops — each eager op is a full tunnel round-trip
+    epoch_keys = jax.random.split(jax.random.key(cfg.seed), cfg.epochs)
+    key = jax.random.key(cfg.seed)  # streaming-path per-step chain
 
     # Host snapshots of the targets: epoch statistics gather from these by
     # index so the hot loop never reads a device array back per step.
@@ -154,30 +169,60 @@ def train_survival(
             jax.profiler.start_trace(cfg.profile_dir)
 
         epoch_t0 = time.perf_counter()
-        # Hot loop: everything stays on device; losses/preds are collected as
-        # device arrays and read back ONCE per epoch (the round-1 per-step
-        # float()/np.asarray syncs paid the ~10ms dispatch tunnel per step
-        # and dominated real epoch wall-clock — docs/PERF.md).
-        step_losses, step_preds = [], []
-        for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
-            key, k = jax.random.split(key)
-            state, aux = survival_train_superstep(
-                state,
-                batch["inputs"],
-                batch["events"],
-                batch["durations"],
-                k,
-                blend=cfg.blend,
-                augment=cfg.augment,
-                ties=cfg.ties,
-            )
-            step_losses.append(aux["loss"])
-            step_preds.append(aux["preds"])
+        do_val = (epoch + 1) % cfg.val_interval == 0
+        val_out = None
 
-        # single epoch-end readback
-        epoch_loss, preds_host = jax.device_get(
-            (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_preds))
-        )
+        if resident_train:
+            # whole epoch (and validation, when fused) = ONE XLA program
+            idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            with mesh:
+                state, out = survival_train_epoch(
+                    state,
+                    train_ds.model_inputs(),
+                    train_ds.events,
+                    train_ds.durations,
+                    idx,
+                    epoch_keys[epoch],
+                    val_inputs=val_ds.model_inputs() if fuse_val else None,
+                    val_events=val_ds.events if fuse_val else None,
+                    val_durations=val_ds.durations if fuse_val else None,
+                    blend=cfg.blend,
+                    augment=cfg.augment,
+                    ties=cfg.ties,
+                    with_val=fuse_val and do_val,
+                    data_axis=_data_axis(mesh, cfg.batch_size),
+                )
+            res = jax.device_get(out)
+            epoch_loss = float(np.sum(res["loss"]))
+            preds_host = res["preds"]
+            if fuse_val and do_val:
+                val_out = {
+                    "preds": np.asarray(res["val_preds"]),
+                    "loss": float(res["val_loss"]),
+                    "selection_loss": float(res["val_selection"]),
+                }
+        else:
+            # streaming/host path: per-superstep dispatch with H2D prefetch
+            step_losses, step_preds = [], []
+            for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
+                key, k = jax.random.split(key)
+                state, aux = survival_train_superstep(
+                    state,
+                    batch["inputs"],
+                    batch["events"],
+                    batch["durations"],
+                    k,
+                    blend=cfg.blend,
+                    augment=cfg.augment,
+                    ties=cfg.ties,
+                )
+                step_losses.append(aux["loss"])
+                step_preds.append(aux["preds"])
+            # single epoch-end readback
+            epoch_loss, preds_host = jax.device_get(
+                (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_preds))
+            )
+            epoch_loss = float(epoch_loss)
 
         if cfg.profile_dir and epoch == 1 and not profiled:
             jax.profiler.stop_trace()
@@ -199,7 +244,7 @@ def train_survival(
         train_cs.append(float(np.mean(train_c)))
 
         epoch_dt = time.perf_counter() - epoch_t0
-        epoch_loss = float(epoch_loss) / train_ds.num_samples
+        epoch_loss = epoch_loss / train_ds.num_samples
         train_losses.append(epoch_loss)
         logger.info(
             f"epoch {epoch + 1} average loss: {epoch_loss:.4f} "
@@ -207,8 +252,8 @@ def train_survival(
         )
 
         # Validation
-        if (epoch + 1) % cfg.val_interval == 0:
-            out = survival_eval_split(
+        if do_val:
+            out = val_out if val_out is not None else survival_eval_split(
                 state, val_ds, blend=cfg.blend, ties=cfg.ties,
                 chunk=cfg.eval_chunk,
             )
@@ -340,7 +385,15 @@ def train_classification(
     blend_history = [np.asarray(state.blend.weights)]
     val_logits = None  # set on validation epochs; blend updates need it
 
-    key = jax.random.key(cfg.seed)
+    from ..data.streaming import HostDataset
+
+    resident_train = not isinstance(train_ds, HostDataset)
+    resident_val = not isinstance(val_ds, HostDataset)
+    fuse_val = resident_train and resident_val and not cfg.eval_chunk
+
+    epoch_keys = jax.random.split(jax.random.key(cfg.seed), cfg.epochs)
+    key = jax.random.key(cfg.seed)  # streaming-path per-step chain
+    pos_weight_dev = jnp.asarray(pos_weight)
     host_labels = np.asarray(train_ds.labels)
     n_unique = train_ds.num_samples
 
@@ -348,25 +401,56 @@ def train_classification(
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
         epoch_t0 = time.perf_counter()
-        # device-side collection; one readback per epoch (see train_survival)
-        step_losses, step_logits = [], []
-        for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
-            key, k = jax.random.split(key)
-            state, aux = classification_train_step(
-                state,
-                batch["inputs"],
-                batch["labels"],
-                pos_weight,
-                k,
-                blend=cfg.blend,
-                augment=cfg.augment,
-            )
-            step_losses.append(aux["loss"])
-            step_logits.append(aux["preds"])
+        do_val = (epoch + 1) % cfg.val_interval == 0
+        val_out = None
 
-        epoch_loss, logits_host = jax.device_get(
-            (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_logits))
-        )
+        if resident_train:
+            idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            with mesh:
+                state, out = classification_train_epoch(
+                    state,
+                    train_ds.model_inputs(),
+                    train_ds.labels,
+                    pos_weight_dev,
+                    idx,
+                    epoch_keys[epoch],
+                    val_inputs=val_ds.model_inputs() if fuse_val else None,
+                    val_labels=val_ds.labels if fuse_val else None,
+                    blend=cfg.blend,
+                    augment=cfg.augment,
+                    with_val=fuse_val and do_val,
+                    data_axis=_data_axis(mesh, cfg.batch_size),
+                )
+            res = jax.device_get(out)
+            epoch_loss = float(np.sum(res["loss"]))
+            logits_host = res["preds"]
+            if fuse_val and do_val:
+                val_out = {
+                    "preds": np.asarray(res["val_preds"]),
+                    "elementwise": np.asarray(res["val_elementwise"]),
+                    "loss": float(res["val_loss"]),
+                }
+        else:
+            # device-side collection; one readback per epoch
+            step_losses, step_logits = [], []
+            for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
+                key, k = jax.random.split(key)
+                state, aux = classification_train_step(
+                    state,
+                    batch["inputs"],
+                    batch["labels"],
+                    pos_weight,
+                    k,
+                    blend=cfg.blend,
+                    augment=cfg.augment,
+                )
+                step_losses.append(aux["loss"])
+                step_logits.append(aux["preds"])
+
+            epoch_loss, logits_host = jax.device_get(
+                (jnp.sum(jnp.stack(step_losses)), jnp.stack(step_logits))
+            )
+            epoch_loss = float(epoch_loss)
         flat_order = batcher.epoch_indices(epoch).reshape(-1)
         logits_host = np.asarray(logits_host)
         if cfg.blend:
@@ -396,8 +480,8 @@ def train_classification(
             f"({train_ds.num_samples / max(epoch_dt, 1e-9):.1f} samples/s)"
         )
 
-        if (epoch + 1) % cfg.val_interval == 0:
-            out = classification_eval_split(
+        if do_val:
+            out = val_out if val_out is not None else classification_eval_split(
                 state, val_ds, pos_weight, blend=cfg.blend,
                 chunk=cfg.eval_chunk,
             )
@@ -499,6 +583,15 @@ def train_classification(
             "best_f1s": None if best_f1s is None else best_f1s.tolist(),
         },
     )
+
+
+def _data_axis(mesh, micro_batch: int):
+    """'data' when the micro-batch divides a multi-device mesh (real DP
+    sharding constraint inside the fused epoch program), else None."""
+    n_dev = mesh.devices.size
+    if n_dev > 1 and micro_batch % n_dev == 0:
+        return "data"
+    return None
 
 
 def _mesh_of(ds):

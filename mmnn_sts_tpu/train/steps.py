@@ -55,6 +55,22 @@ def _augment_inputs(inputs, key, train: bool):
     return inputs  # clinical-only (B, F)
 
 
+def _shard_batch(tree, data_axis: str | None, batch_dim: int):
+    """Constrain the micro-batch axis of every leaf onto the mesh 'data'
+    axis (SPMD data parallelism inside the fused epoch program). No-op when
+    data_axis is None (single chip). Requires a mesh context at trace time.
+    """
+    if data_axis is None:
+        return tree
+
+    def constrain(x):
+        spec = [None] * x.ndim
+        spec[batch_dim] = data_axis
+        return jax.lax.with_sharding_constraint(x, jax.P(*spec))
+
+    return jax.tree.map(constrain, tree)
+
+
 def _tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
@@ -68,24 +84,17 @@ def _tree_zeros_like(t):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("blend", "augment", "ties"),
-         donate_argnums=(0,))
-def survival_train_superstep(
+def _survival_superstep_body(
     state: TrainState,
     inputs: Any,  # leaves (A, B, ...) — A microbatches of B samples
     events: jax.Array,  # (A, B, C)
     durations: jax.Array,  # (A, B, C)
     key: jax.Array,
-    blend: bool = False,
-    augment: bool = True,
-    ties: str = "breslow",
+    blend: bool,
+    augment: bool,
+    ties: str,
 ):
-    """One optimizer update over A accumulated microbatches.
-
-    Returns (new_state, aux) where aux carries the summed loss and the raw
-    per-microbatch head predictions (A, [K,] B, C) for epoch-level C-index
-    and gradient-blending statistics.
-    """
+    """One optimizer update over A accumulated microbatches (traceable)."""
     num_micro = events.shape[0]
     keys = jax.random.split(key, num_micro * 2).reshape(num_micro, 2)
 
@@ -125,6 +134,109 @@ def survival_train_superstep(
     return new_state, {"loss": loss_sum, "preds": outs}
 
 
+@partial(jax.jit, static_argnames=("blend", "augment", "ties"),
+         donate_argnums=(0,))
+def survival_train_superstep(
+    state: TrainState,
+    inputs: Any,
+    events: jax.Array,
+    durations: jax.Array,
+    key: jax.Array,
+    blend: bool = False,
+    augment: bool = True,
+    ties: str = "breslow",
+):
+    """One jitted optimizer update (used by the streaming/host path and
+    tests; device-resident epochs use survival_train_epoch).
+
+    Returns (new_state, aux) where aux carries the summed loss and the raw
+    per-microbatch head predictions (A, [K,] B, C) for epoch-level C-index
+    and gradient-blending statistics.
+    """
+    return _survival_superstep_body(
+        state, inputs, events, durations, key, blend, augment, ties
+    )
+
+
+def _survival_eval_body(state, inputs, events, durations, blend, ties):
+    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = state.apply_fn(variables, inputs, train=False)
+    if blend:
+        loss, selection = blended_surv_loss(state.blend, out, events,
+                                            durations, ties)
+    else:
+        loss = multi_cox_loss(out, events, durations, ties=ties)
+        selection = loss
+    return {"loss": loss, "selection_loss": selection, "preds": out}
+
+
+@partial(jax.jit,
+         static_argnames=("blend", "augment", "ties", "with_val", "data_axis"),
+         donate_argnums=(0,))
+def survival_train_epoch(
+    state: TrainState,
+    inputs: Any,  # full resident split, leaves (N, ...)
+    events: jax.Array,  # (N, C)
+    durations: jax.Array,  # (N, C)
+    idx: jax.Array,  # (S, A, B) int32 — per-step gather indices
+    key: jax.Array,
+    val_inputs: Any = None,
+    val_events: jax.Array | None = None,
+    val_durations: jax.Array | None = None,
+    blend: bool = False,
+    augment: bool = True,
+    ties: str = "breslow",
+    with_val: bool = False,
+    data_axis: str | None = None,
+):
+    """A FULL training epoch (+ optional fused validation) as one XLA
+    program: lax.scan over optimizer supersteps, each gathering its
+    (A, B, ...) super-batch from the device-resident split by index.
+
+    This exists because per-step dispatch is the real epoch cost on a
+    tunneled single chip (~0.1-0.3s per eager op round-trip, measured in
+    docs/PERF.md): a 1-superstep epoch at n=48 spent 2.6s on ~15 dispatches
+    while the device computed for ~10ms. One epoch = ONE dispatch + one
+    readback. The reference's per-batch Python loop
+    (/root/reference/main.py:445-492) has no analogue — this is the
+    TPU-native replacement.
+
+    Validation fusion (with_val=True) runs the eval forward inside the same
+    program after the last optimizer step — identical semantics to calling
+    survival_eval_step afterwards, without a second dispatch.
+
+    Returns (new_state, out) with out["loss"] (S,) per-step losses,
+    out["preds"] (S, A, [K,] B, C), and when with_val:
+    out["val_preds"/"val_loss"/"val_selection"].
+    """
+    num_steps = idx.shape[0]
+    keys = jax.random.split(key, num_steps)
+
+    def step(st, xs):
+        step_idx, k = xs  # (A, B) indices
+        mb_inputs = _shard_batch(
+            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 1
+        )
+        st, aux = _survival_superstep_body(
+            st, mb_inputs,
+            _shard_batch(events[step_idx], data_axis, 1),
+            _shard_batch(durations[step_idx], data_axis, 1),
+            k, blend, augment, ties,
+        )
+        return st, (aux["loss"], aux["preds"])
+
+    state, (losses, preds) = jax.lax.scan(step, state, (idx, keys))
+    out = {"loss": losses, "preds": preds}
+    if with_val:
+        ev = _survival_eval_body(state, val_inputs, val_events,
+                                 val_durations, blend, ties)
+        out["val_preds"] = ev["preds"]
+        out["val_loss"] = ev["loss"]
+        out["val_selection"] = ev["selection_loss"]
+    return state, out
+
+
 @partial(jax.jit, static_argnames=("blend", "ties"))
 def survival_eval_step(
     state: TrainState,
@@ -135,16 +247,7 @@ def survival_eval_step(
     ties: str = "breslow",
 ):
     """Validation forward pass (running BN stats, no dropout)."""
-    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    out = state.apply_fn(variables, inputs, train=False)
-    if blend:
-        loss, selection = blended_surv_loss(state.blend, out, events, durations,
-                                            ties)
-    else:
-        loss = multi_cox_loss(out, events, durations, ties=ties)
-        selection = loss
-    return {"loss": loss, "selection_loss": selection, "preds": out}
+    return _survival_eval_body(state, inputs, events, durations, blend, ties)
 
 
 # ---------------------------------------------------------------------------
@@ -152,18 +255,8 @@ def survival_eval_step(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
-def classification_train_step(
-    state: TrainState,
-    inputs: Any,  # leaves (B, ...)
-    labels: jax.Array,  # (B, C)
-    pos_weight: jax.Array,
-    key: jax.Array,
-    blend: bool = False,
-    augment: bool = True,
-):
-    """One optimizer step per batch (no accumulation —
-    /root/reference/main.py:205-217)."""
+def _classification_step_body(state, inputs, labels, pos_weight, key,
+                              blend, augment):
     aug_key, dropout_key = jax.random.split(key)
     inputs = _augment_inputs(inputs, aug_key, train=augment)
 
@@ -189,6 +282,83 @@ def classification_train_step(
     return new_state, {"loss": loss, "preds": out}
 
 
+@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
+def classification_train_step(
+    state: TrainState,
+    inputs: Any,  # leaves (B, ...)
+    labels: jax.Array,  # (B, C)
+    pos_weight: jax.Array,
+    key: jax.Array,
+    blend: bool = False,
+    augment: bool = True,
+):
+    """One optimizer step per batch (no accumulation —
+    /root/reference/main.py:205-217)."""
+    return _classification_step_body(state, inputs, labels, pos_weight, key,
+                                     blend, augment)
+
+
+def _classification_eval_body(state, inputs, labels, pos_weight, blend):
+    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = state.apply_fn(variables, inputs, train=False)
+    head = out[0] if blend else out
+    elementwise = bce_with_logits(head, labels, pos_weight, reduction="none")
+    if blend:
+        loss, _sel = blended_class_loss(state.blend, out, labels, pos_weight)
+    else:
+        loss = jnp.sum(elementwise)
+    return {"loss": loss, "preds": out, "elementwise": elementwise}
+
+
+@partial(jax.jit,
+         static_argnames=("blend", "augment", "with_val", "data_axis"),
+         donate_argnums=(0,))
+def classification_train_epoch(
+    state: TrainState,
+    inputs: Any,  # full resident split, leaves (N, ...)
+    labels: jax.Array,  # (N, C)
+    pos_weight: jax.Array,
+    idx: jax.Array,  # (S, B) int32
+    key: jax.Array,
+    val_inputs: Any = None,
+    val_labels: jax.Array | None = None,
+    blend: bool = False,
+    augment: bool = True,
+    with_val: bool = False,
+    data_axis: str | None = None,
+):
+    """A full classification epoch (+ optional fused validation) as one XLA
+    program — see survival_train_epoch for the dispatch-latency rationale.
+
+    Returns (new_state, out): out["loss"] (S,), out["preds"]
+    (S, [K,] B, C); with_val adds val_preds/val_elementwise/val_loss.
+    """
+    num_steps = idx.shape[0]
+    keys = jax.random.split(key, num_steps)
+
+    def step(st, xs):
+        step_idx, k = xs  # (B,) indices
+        mb_inputs = _shard_batch(
+            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 0
+        )
+        st, aux = _classification_step_body(
+            st, mb_inputs, _shard_batch(labels[step_idx], data_axis, 0),
+            pos_weight, k, blend, augment
+        )
+        return st, (aux["loss"], aux["preds"])
+
+    state, (losses, preds) = jax.lax.scan(step, state, (idx, keys))
+    out = {"loss": losses, "preds": preds}
+    if with_val:
+        ev = _classification_eval_body(state, val_inputs, val_labels,
+                                       pos_weight, blend)
+        out["val_preds"] = ev["preds"]
+        out["val_elementwise"] = ev["elementwise"]
+        out["val_loss"] = ev["loss"]
+    return state, out
+
+
 @partial(jax.jit, static_argnames=("blend",))
 def classification_eval_step(
     state: TrainState,
@@ -197,15 +367,6 @@ def classification_eval_step(
     pos_weight: jax.Array,
     blend: bool = False,
 ):
-    inputs = _augment_inputs(inputs, jax.random.key(0), train=False)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    out = state.apply_fn(variables, inputs, train=False)
     # unreduced losses feed the LossTracker diagnostics
     # (/root/reference/main.py:260, utils/utils.py:409-429)
-    head = out[0] if blend else out
-    elementwise = bce_with_logits(head, labels, pos_weight, reduction="none")
-    if blend:
-        loss, _sel = blended_class_loss(state.blend, out, labels, pos_weight)
-    else:
-        loss = jnp.sum(elementwise)
-    return {"loss": loss, "preds": out, "elementwise": elementwise}
+    return _classification_eval_body(state, inputs, labels, pos_weight, blend)

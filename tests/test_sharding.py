@@ -139,3 +139,67 @@ def test_checkpoint_roundtrip_on_mesh(rng, tmp_path):
     leaf = jax.tree.leaves(restored.params)[0]
     assert getattr(leaf.sharding, "mesh", None) is not None
     mgr.close()
+
+
+def test_fused_epoch_sharded_matches_loop_of_supersteps(rng):
+    """survival_train_epoch (whole epoch as one program, DP sharding
+    constraints inside) produces the same parameters and per-step losses as
+    looping survival_train_superstep over the same index batches."""
+    from mmnn_sts_tpu.data.loader import EpochBatcher, build_device_dataset
+    from mmnn_sts_tpu.train.steps import survival_train_epoch
+
+    n, b, f = 16, 8, 6
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    e = (rng.random((n, 2)) < 0.8).astype(np.float32)
+    d = rng.integers(1, 100, size=(n, 2)).astype(np.float32)
+
+    mesh = make_mesh()
+    train = build_device_dataset(np.arange(n), mesh, clinical=x,
+                                 events=e, durations=d)
+    batcher = EpochBatcher(n, micro_batch=b, accum_steps=1, seed=0,
+                           two_level=True)
+    idx = batcher.epoch_indices(0)  # (2, 1, 8)
+
+    model = MLP(in_channels=f, out_channels=2, feature_channels=4,
+                dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+
+    def fresh_state():
+        st = create_train_state(model, tx, jnp.zeros((b, f)), seed=0)
+        return st.replace(
+            params=replicate(mesh, st.params),
+            batch_stats=replicate(mesh, st.batch_stats),
+            opt_state=replicate(mesh, st.opt_state),
+        )
+
+    # reference: loop of supersteps over the same gathers, same keys
+    keys = jax.random.split(jax.random.key(7), idx.shape[0])
+    st_ref = fresh_state()
+    ref_losses = []
+    for s in range(idx.shape[0]):
+        rows = idx[s]
+        st_ref, aux = survival_train_superstep(
+            st_ref,
+            jnp.asarray(x[rows.reshape(-1)]).reshape(rows.shape + (f,)),
+            jnp.asarray(e[rows.reshape(-1)]).reshape(rows.shape + (2,)),
+            jnp.asarray(d[rows.reshape(-1)]).reshape(rows.shape + (2,)),
+            keys[s], blend=False, augment=False,
+        )
+        ref_losses.append(float(aux["loss"]))
+
+    st2 = fresh_state()
+    with mesh:
+        st2, out = survival_train_epoch(
+            st2, train.model_inputs(), train.events, train.durations,
+            jnp.asarray(idx, dtype=jnp.int32), jax.random.key(7),
+            blend=False, augment=False, data_axis="data",
+        )
+    np.testing.assert_allclose(np.asarray(out["loss"]), ref_losses,
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5
+        ),
+        st_ref.params,
+        st2.params,
+    )
