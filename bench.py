@@ -94,16 +94,20 @@ def main():
     state, aux = step(state, key)
     jax.block_until_ready((state.params, aux["loss"]))
 
-    iters = 30
+    iters = 10
     times = []
     for i in range(iters):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         state, aux = step(state, k)
-        # block every step: no pipelining credit, counts dispatch latency
-        jax.block_until_ready(aux["loss"])
+        # HONEST sync: through the tunneled dev chip, block_until_ready
+        # resolves optimistically BEFORE execution completes (measured in
+        # docs/PERF.md — it reported 10ms for steps that truly take
+        # seconds). A device_get of a small output forces real completion,
+        # so each iteration is timed end-to-end with zero pipelining credit.
+        jax.device_get(aux["loss"])
         times.append(time.perf_counter() - t0)
-    jax.block_until_ready((state.params, aux["loss"]))
+    jax.device_get(jax.tree.leaves(state.params)[0])
     # median per-step time: robust to transient tunnel/dispatch hiccups
     dt = float(np.median(times))
 

@@ -79,27 +79,28 @@ def main():
             )
 
         key = jax.random.key(0)
-        # compile + cost analysis of the exact executable
-        lowered = jax.jit(
-            lambda st, k: survival_train_superstep(
-                st, batch, events, durations, k, blend=True
-            )
-        ).lower(state, key)
-        compiled = lowered.compile()
+        # warm the jit cache first; the cost-analysis lower().compile() then
+        # hits the persistent compile cache instead of recompiling
+        state, aux = step(state, key)
+        jax.device_get(aux["loss"])  # honest fence (docs/PERF.md)
         try:
-            flops = float(compiled.cost_analysis()["flops"])
+            lowered = jax.jit(
+                lambda st, k: survival_train_superstep(
+                    st, batch, events, durations, k, blend=True
+                )
+            ).lower(state, key)
+            flops = float(lowered.compile().cost_analysis()["flops"])
         except Exception:  # noqa: BLE001 — cost model absent on some backends
             flops = float("nan")
-
-        state, aux = step(state, key)
-        jax.block_until_ready((state.params, aux["loss"]))
 
         times = []
         for _ in range(args.iters):
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
             state, aux = step(state, k)
-            jax.block_until_ready(aux["loss"])
+            # device_get, not block_until_ready: the latter resolves before
+            # execution completes through the relay (docs/PERF.md)
+            jax.device_get(aux["loss"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         volumes = a * b

@@ -284,6 +284,7 @@ def main(argv=None) -> int:
         profile_dir=cfg.tpu.profile_dir,
         ties=hp.cox_ties,
         eval_chunk=cfg.tpu.eval_chunk_size,
+        fused_epoch=cfg.tpu.fused_epoch,
     )
 
     if args.resume and args.checkpoint_dir:

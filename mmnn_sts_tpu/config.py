@@ -128,6 +128,12 @@ class TPUConfig:
     # validation/inference forward chunk size; 0 = auto (whole split when
     # device-resident, fixed chunks when streaming) — train/evaluate.py
     eval_chunk_size: int = 0
+    # run each training epoch as ONE XLA program (lax.scan over supersteps
+    # with fused validation; train/steps.survival_train_epoch). The right
+    # design for directly-attached TPUs; ships OFF because the tunneled
+    # single-chip dev environment executes that program pathologically
+    # (~2.5 s/epoch vs ~20 ms for per-superstep dispatch — docs/PERF.md).
+    fused_epoch: bool = False
     debug_nans: bool = False
     profile_dir: str = ""
     # Pallas fused BN+ReLU+1x1conv in DenseNet bottlenecks (perf option;

@@ -280,7 +280,6 @@ def adjust_contrast(img, gamma):
 
 def histogram_shift(img, key, num_control_points=10):
     mn, mx = jnp.min(img), jnp.max(img)
-    ref = jnp.linspace(0.0, 1.0, num_control_points)
     # monotone random control points: sorted uniforms with fixed endpoints
     u = jax.random.uniform(key, (num_control_points,))
     floating = jnp.sort(u)
@@ -289,7 +288,18 @@ def histogram_shift(img, key, num_control_points=10):
     )
     rng = jnp.maximum(mx - mn, 1e-7)
     unit = (img - mn) / rng
-    shifted = jnp.interp(unit.reshape(-1), ref, floating).reshape(img.shape)
+    # The reference grid is UNIFORM (linspace 0..1), so piecewise-linear
+    # interpolation needs no search: it is the hat-basis expansion
+    # y(x) = sum_k floating[k] * max(0, 1 - |x*(n-1) - k|), a short unrolled
+    # chain of elementwise ops that XLA fuses into one VPU kernel.
+    # (jnp.interp's searchsorted lowered to a per-element while-loop on TPU
+    # and serialized ~90% of the training superstep — docs/PERF.md.)
+    x = unit * (num_control_points - 1)
+    shifted = jnp.zeros_like(x)
+    for k in range(num_control_points):
+        shifted = shifted + floating[k] * jnp.maximum(
+            0.0, 1.0 - jnp.abs(x - k)
+        )
     return shifted * rng + mn
 
 

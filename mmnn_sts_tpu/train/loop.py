@@ -70,6 +70,8 @@ class LoopConfig:
     # validation forward chunk size; 0 = auto (whole split when device-
     # resident, DEFAULT_EVAL_CHUNK when streaming from host)
     eval_chunk: int = 0
+    # whole-epoch-as-one-XLA-program (TPU.fused_epoch); see config.py
+    fused_epoch: bool = False
 
 
 @dataclass
@@ -145,10 +147,12 @@ def train_survival(
 
     resident_train = not isinstance(train_ds, HostDataset)
     resident_val = not isinstance(val_ds, HostDataset)
-    # Fused-validation epoch program: one dispatch + one readback per epoch.
+    # Fused-validation epoch program: one dispatch + one readback per epoch
+    # (opt-in via TPU.fused_epoch; see config.py for why it ships off).
     # Falls back to separate eval when chunking was requested or a split
     # streams from host.
-    fuse_val = resident_train and resident_val and not cfg.eval_chunk
+    use_fused = resident_train and cfg.fused_epoch
+    fuse_val = use_fused and resident_val and not cfg.eval_chunk
 
     # one split for the whole run: a single dispatch instead of per-epoch
     # (per-step) eager key ops — each eager op is a full tunnel round-trip
@@ -172,7 +176,7 @@ def train_survival(
         do_val = (epoch + 1) % cfg.val_interval == 0
         val_out = None
 
-        if resident_train:
+        if use_fused:
             # whole epoch (and validation, when fused) = ONE XLA program
             idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
             with mesh:
@@ -389,7 +393,8 @@ def train_classification(
 
     resident_train = not isinstance(train_ds, HostDataset)
     resident_val = not isinstance(val_ds, HostDataset)
-    fuse_val = resident_train and resident_val and not cfg.eval_chunk
+    use_fused = resident_train and cfg.fused_epoch
+    fuse_val = use_fused and resident_val and not cfg.eval_chunk
 
     epoch_keys = jax.random.split(jax.random.key(cfg.seed), cfg.epochs)
     key = jax.random.key(cfg.seed)  # streaming-path per-step chain
@@ -404,7 +409,7 @@ def train_classification(
         do_val = (epoch + 1) % cfg.val_interval == 0
         val_out = None
 
-        if resident_train:
+        if use_fused:
             idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
             with mesh:
                 state, out = classification_train_epoch(

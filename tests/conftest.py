@@ -23,6 +23,12 @@ import jax
 # The environment's TPU plugin prepends its own platform to JAX_PLATFORMS,
 # so the env var alone does not force CPU — override the config directly.
 jax.config.update("jax_platforms", "cpu")
+# The cache env vars are NOT honored in this environment either (verified:
+# "cache is disabled/not initialized" + 1.0s min-compile-time despite the
+# vars) — set the config explicitly or every CPU compile is repaid per run.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest

@@ -181,3 +181,24 @@ def test_transform_batch_train_varies_with_key(rng):
     a = augment.transform_batch(vb, jax.random.key(0), train=True)
     b = augment.transform_batch(vb, jax.random.key(99), train=True)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_histogram_shift_matches_interp_oracle(rng):
+    """The search-free hat-basis formulation equals jnp.interp on the same
+    uniform control grid (the TPU-hostile searchsorted oracle)."""
+    v = vol(rng)
+    key = jax.random.key(9)
+    out = augment.histogram_shift(v, key, num_control_points=10)
+
+    mn, mx = float(jnp.min(v)), float(jnp.max(v))
+    u = jax.random.uniform(key, (10,))
+    floating = jnp.sort(u)
+    floating = (floating - floating[0]) / jnp.maximum(
+        floating[-1] - floating[0], 1e-7
+    )
+    ref = jnp.linspace(0.0, 1.0, 10)
+    rng_ = max(mx - mn, 1e-7)
+    unit = (np.asarray(v) - mn) / rng_
+    oracle = np.interp(unit.reshape(-1), np.asarray(ref),
+                       np.asarray(floating)).reshape(v.shape) * rng_ + mn
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-4)

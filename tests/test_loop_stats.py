@@ -45,9 +45,11 @@ def test_epoch_stream_head_is_unique_permutation():
         assert sorted(flat[:n].tolist()) == list(range(n))
 
 
-def test_train_c_index_excludes_wrap_padding(rng, tmp_path):
+@pytest.mark.parametrize("fused", [False, True])
+def test_train_c_index_excludes_wrap_padding(rng, tmp_path, fused):
     """N % batch != 0: the recorded train C-index equals the statistic over
-    the unpadded epoch stream, computed independently."""
+    the unpadded epoch stream, computed independently — on both the
+    per-superstep path and the fused whole-epoch program."""
     n, b, f = 10, 4, 5
     x = rng.normal(size=(n, f)).astype(np.float32)
     e = (rng.random((n, 2)) < 0.8).astype(np.float32)
@@ -66,7 +68,8 @@ def test_train_c_index_excludes_wrap_padding(rng, tmp_path):
     state = create_train_state(model, optax.sgd(0.0), jnp.zeros((b, f)), seed=0)
 
     cfg = LoopConfig(epochs=1, batch_size=b, super_batch=b, blend=False,
-                     seed=3, output_dir=str(tmp_path), augment=False)
+                     seed=3, output_dir=str(tmp_path), augment=False,
+                     fused_epoch=fused)
     # host snapshot before training: the superstep donates the state buffers
     params0 = jax.tree.map(np.asarray, state.params)
     bstats0 = jax.tree.map(np.asarray, state.batch_stats)
