@@ -128,5 +128,46 @@ def main():
     )
 
 
+def _run_with_watchdog():
+    """Run the measurement in a child process with timeout + retries.
+
+    The dev chip's relay intermittently hangs a process after loading the
+    compiled program (docs/PERF.md "Operational notes"); a fresh process
+    resumes from the persistent compile cache in seconds. Up to 3
+    attempts, 10 minutes each; the child's JSON line is re-printed as this
+    process's single output line.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ, MMNN_BENCH_CHILD="1")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=600, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out; retrying "
+                  "(relay hang — see docs/PERF.md)", file=sys.stderr)
+            continue
+        for line in reversed(out.stdout.splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return 0
+        print(f"bench attempt {attempt + 1} produced no result "
+              f"(rc={out.returncode}); stderr tail: "
+              f"{out.stderr[-500:]}", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MMNN_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(_run_with_watchdog())
