@@ -440,3 +440,32 @@ def test_cli_bootstrap(cohort_cfg, tmp_path, capfd):
     out = capfd.readouterr().out
     assert "Mean c indices" in out
     assert "Std. devs" in out
+
+
+def test_cli_fused_epoch_mode(cohort_cfg, tmp_path):
+    """TPU.fused_epoch: true routes training through the whole-epoch-as-one-
+    XLA-program path (train/steps.survival_train_epoch) end-to-end."""
+    root = cohort_cfg["root"]
+    cfg_path = os.path.join(root, "config_fused.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    base += "\nTPU:\n  fused_epoch: true\n"
+    with open(cfg_path, "w") as f:
+        f.write(base)
+    rc = _run_cli(
+        [
+            "--survival", "--preop", "--epochs", "2",
+            "--config", cfg_path,
+            "--output_path", str(tmp_path),
+            "--train_uid_location", os.path.join(root, "train_uids.txt"),
+            "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    assert (tmp_path / "train_val_c_score.png").exists()
+    with open(tmp_path / "metrics.jsonl") as f:
+        lines = [json.loads(x) for x in f]
+    assert len(lines) == 2 and all(
+        np.isfinite(d["val_loss"]) for d in lines
+    )
