@@ -319,6 +319,7 @@ def main(argv=None) -> int:
             eval_chunk=cfg.tpu.eval_chunk_size,
             bucket=cfg.data.bucket,
             dest_prefix=cfg.preprocessing.output_dir,
+            ties=hp.cox_ties,
         )
         if flags.survival:
             inference_survival(state, test_ds, icfg)

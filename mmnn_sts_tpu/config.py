@@ -126,7 +126,12 @@ class TPUConfig:
     compute_dtype: str = "float32"  # or "bfloat16"
     device_resident_dataset: bool = True
     # validation/inference forward chunk size; 0 = auto (whole split when
-    # device-resident, fixed chunks when streaming) — train/evaluate.py
+    # device-resident, fixed chunks when streaming) — train/evaluate.py.
+    # NOTE: the Cox partial likelihood couples samples, so this value changes
+    # the numerical validation/selection loss (sum over chunks != whole-split
+    # value) and can change which epoch is checkpointed as best. For the
+    # closest comparison to the reference's chunked-sum val loss, set it to
+    # the reference batch size; see PARITY.md "Best-epoch selection loss".
     eval_chunk_size: int = 0
     # run each training epoch as ONE XLA program (lax.scan over supersteps
     # with fused validation; train/steps.survival_train_epoch). The right

@@ -67,6 +67,10 @@ class InferenceConfig:
     # empty bucket = disabled
     bucket: str = ""
     dest_prefix: str = "models"
+    # Cox tie handling for the reported forward loss ("breslow" | "efron");
+    # must match Hyperparameters.cox_ties so any surfaced loss is consistent
+    # with training
+    ties: str = "breslow"
 
 
 @jax.jit
@@ -87,18 +91,19 @@ def _bootstrap_cindices(preds, events, durations, counts):
     return cs.T, adms.T  # (R, C)
 
 
-def _forward_all(state, ds: DeviceDataset, blend: bool, chunk: int = 0):
+def _forward_all(state, ds: DeviceDataset, blend: bool, chunk: int = 0,
+                 ties: str = "breslow"):
     from ..train.evaluate import survival_eval_split
 
-    out = survival_eval_split(state, ds, blend=blend, ties="breslow",
-                              chunk=chunk)
+    out = survival_eval_split(state, ds, blend=blend, ties=ties, chunk=chunk)
     preds = out["preds"]
     return preds[0] if blend else preds
 
 
 def inference_survival(state, ds: DeviceDataset, cfg: InferenceConfig):
     """Survival inference over a device-resident test split."""
-    preds = _forward_all(state, ds, cfg.blend, chunk=cfg.eval_chunk)
+    preds = _forward_all(state, ds, cfg.blend, chunk=cfg.eval_chunk,
+                         ties=cfg.ties)
     events = np.asarray(ds.events)
     durations = np.asarray(ds.durations)
 
@@ -106,11 +111,20 @@ def inference_survival(state, ds: DeviceDataset, cfg: InferenceConfig):
         export_attention_maps(state, ds, cfg, survival=True)
 
     if cfg.bootstrap:
-        rng = np.random.default_rng(cfg.seed)
+        # Bitwise-parity resample stream: the reference calls sklearn
+        # `resample(uids)` per iteration (/root/reference/main.py:767-768),
+        # whose index draw is `random_state.randint(0, n, size=n)` on a
+        # NumPy MT19937 stream. The reference never seeds numpy (only
+        # torch.manual_seed, main.py:340), so its stream is the UNSEEDED
+        # global RandomState; we keep the exact index formula but seed the
+        # stream with cfg.seed for reproducibility (PARITY.md "bootstrap
+        # resample RNG"). tests/test_inference.py checks the stream against
+        # sklearn.utils.resample directly.
+        rng = np.random.RandomState(cfg.seed)
         n = ds.num_samples
         counts = np.zeros((cfg.num_bootstrap, n), dtype=np.float32)
         for r in range(cfg.num_bootstrap):
-            picks = rng.integers(0, n, size=n)
+            picks = rng.randint(0, n, size=n)
             np.add.at(counts[r], picks, 1.0)
         cs, adms = _bootstrap_cindices(
             jnp.asarray(preds), jnp.asarray(events), jnp.asarray(durations),

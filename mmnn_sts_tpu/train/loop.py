@@ -139,7 +139,13 @@ def train_survival(
     train_losses, val_losses = [], []
     train_cs, val_cs = [], []
     blend_history = [np.asarray(state.blend.weights)]
-    val_preds = None  # set on validation epochs; blend updates need it
+    # Blend updates consume validation predictions. Track which epoch they
+    # came from: with val_interval > 1 and a misaligned blend_update_interval
+    # the last validation's predictions are STALE (older parameters) and the
+    # update must recompute them (the reference validates every epoch so
+    # never hits this — /root/reference/main.py:398,585).
+    val_preds = None
+    val_preds_epoch = -1
 
     profiled = False
 
@@ -262,6 +268,7 @@ def train_survival(
                 chunk=cfg.eval_chunk,
             )
             val_preds = out["preds"]
+            val_preds_epoch = epoch
             v_head0 = val_preds[0] if cfg.blend else val_preds
             try:
                 c_indices = c_indices_per_class(
@@ -312,15 +319,16 @@ def train_survival(
 
         # Gradient-blender weight update
         if cfg.blend and (epoch + 1) % cfg.blend_update_interval == 0:
-            if val_preds is None:
-                # blend interval misaligned with val interval: compute fresh
-                # validation predictions (the reference validates every
-                # epoch so never hits this)
+            if val_preds is None or val_preds_epoch != epoch:
+                # no validation this epoch (val_interval misaligned with
+                # blend_update_interval): stored predictions are missing or
+                # stale — recompute against the CURRENT parameters
                 out = survival_eval_split(
                     state, val_ds, blend=cfg.blend, ties=cfg.ties,
                     chunk=cfg.eval_chunk,
                 )
                 val_preds = out["preds"]
+                val_preds_epoch = epoch
             logger.info("Updating gradient blender weights")
             tr_head = blending.surv_head_losses(
                 jnp.asarray(train_preds),
@@ -387,7 +395,10 @@ def train_classification(
     train_losses, val_losses = [], []
     train_f1s, val_f1s = [], []
     blend_history = [np.asarray(state.blend.weights)]
-    val_logits = None  # set on validation epochs; blend updates need it
+    # see the survival loop: blend updates must not consume predictions from
+    # an older epoch's parameters when val/blend intervals are misaligned
+    val_logits = None
+    val_logits_epoch = -1
 
     from ..data.streaming import HostDataset
 
@@ -491,6 +502,7 @@ def train_classification(
                 chunk=cfg.eval_chunk,
             )
             val_logits = out["preds"]
+            val_logits_epoch = epoch
             labels = np.asarray(val_ds.labels)
             head = val_logits[0] if cfg.blend else val_logits
             probs = 1.0 / (1.0 + np.exp(-head))
@@ -542,12 +554,13 @@ def train_classification(
             # 268, GradientBlender.py:113-117 — a double-sigmoid quirk);
             # the evident intent — raw logits for both — is used here.
             logger.info("Updating gradient blender weights")
-            if val_logits is None:
+            if val_logits is None or val_logits_epoch != epoch:
                 out = classification_eval_split(
                     state, val_ds, pos_weight, blend=cfg.blend,
                     chunk=cfg.eval_chunk,
                 )
                 val_logits = out["preds"]
+                val_logits_epoch = epoch
             tr_head = blending.class_head_losses(
                 jnp.asarray(tr_logits), jnp.asarray(tr_labels), pos_weight
             )

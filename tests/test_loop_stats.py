@@ -170,3 +170,52 @@ def test_streaming_validation_chunks_larger_split(rng, tmp_path):
     result = train_survival(state, train_ds, val_ds, cfg)
     assert len(result.history["val_loss"]) == 2
     assert all(np.isfinite(v) for v in result.history["val_loss"])
+
+
+def test_blend_update_recomputes_stale_val_preds(rng, tmp_path, monkeypatch):
+    """val_interval=2, blend_update_interval=3: the epoch-3 blend update must
+    NOT reuse epoch-2's validation predictions (stale parameters) — it
+    recomputes them against the current state (VERDICT r2 weak #3)."""
+    from mmnn_sts_tpu.models.multimodal import MultiModalModel
+    from mmnn_sts_tpu.models.tinycnn import TinyCNN
+    from mmnn_sts_tpu.train import loop as loop_mod
+
+    n, f, s = 8, 5, 8
+    x_img = rng.normal(size=(n, s, s, s, 2)).astype(np.float32)
+    x_cli = rng.normal(size=(n, f)).astype(np.float32)
+    e = np.ones((n, 2), np.float32)
+    d = rng.integers(1, 100, size=(n, 2)).astype(np.float32)
+
+    mesh = make_mesh()
+    train_ds = build_device_dataset(np.arange(n), mesh, image_volumes=x_img,
+                                    clinical=x_cli, events=e, durations=d)
+    val_ds = build_device_dataset(np.arange(4), mesh,
+                                  image_volumes=x_img[:4], clinical=x_cli[:4],
+                                  events=e[:4], durations=d[:4])
+
+    image_model = TinyCNN(in_channels=2, out_channels=2, feature_channels=4,
+                          dropout_prob=0.0)
+    model = MultiModalModel(image_model=image_model, num_clinical_inputs=f,
+                            num_classes=2, num_features=4, blend=True)
+    sample = {"image": jnp.zeros((2, s, s, s, 2)), "clinical": jnp.zeros((2, f))}
+    state = create_train_state(model, optax.sgd(1e-3), sample, seed=0)
+
+    eval_epochs = []
+    real_eval = loop_mod.survival_eval_split
+
+    def spy_eval(state, *args, **kwargs):
+        eval_epochs.append(int(state.epoch))
+        return real_eval(state, *args, **kwargs)
+
+    monkeypatch.setattr(loop_mod, "survival_eval_split", spy_eval)
+
+    cfg = LoopConfig(epochs=3, batch_size=4, super_batch=4, blend=True,
+                     blend_update_interval=3, val_interval=2, seed=3,
+                     output_dir=str(tmp_path), augment=False)
+    result = train_survival(state, train_ds, val_ds, cfg)
+
+    # validation ran at epoch 2 (state.epoch==1); the blend update at epoch 3
+    # (state.epoch==2) must have triggered a FRESH eval with the current state
+    assert eval_epochs == [1, 2]
+    # and the update actually happened (blend state now carries history)
+    assert bool(result.state.blend.has_history)
