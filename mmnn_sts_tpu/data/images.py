@@ -285,8 +285,12 @@ def build_manifest_dicom_s3(
     keys whose remainder contains 'image' are the per-slice files, 'mask'
     the DicomRT mask; anything else raises (s3utils.py:151-153). Each
     patient's objects are fetched into local per-patient image/mask
-    directories so decode goes through load_dicom_series.
+    directories so decode goes through load_dicom_series. All per-patient
+    directories live under one run-scoped temp root that is removed at
+    interpreter exit (atexit), so a cohort's imaging data no longer leaks
+    onto the temp filesystem across runs.
     """
+    import atexit
     import shutil
     import tempfile
 
@@ -321,11 +325,15 @@ def build_manifest_dicom_s3(
 
     key_df = read_csv_any(patient_key_csv)
     records = []
+    run_root = None
     for anon in sorted(dcm_dict):
         pair = dcm_dict[anon]
         if not pair["image"] or not pair["mask"]:
             continue
-        pdir = tempfile.mkdtemp(prefix=f"dicom_{anon}_")
+        if run_root is None:
+            run_root = tempfile.mkdtemp(prefix="dicom_cohort_")
+            atexit.register(shutil.rmtree, run_root, ignore_errors=True)
+        pdir = tempfile.mkdtemp(prefix=f"dicom_{anon}_", dir=run_root)
         img_dir = os.path.join(pdir, "image")
         mask_dir = os.path.join(pdir, "mask")
         os.makedirs(img_dir)
@@ -353,15 +361,25 @@ def _load_dicom_pair(rec: PatientRecord) -> tuple[np.ndarray, np.ndarray]:
 
     Parity with S3DicomDataset.__getitem__
     (/root/reference/data/ImageDatasets.py:136-162): the DicomRT mask is
-    resampled onto the image grid (sitk.Resample role -> trilinear resize
-    here) and rebinarized at >128 because interpolation makes the nominally
-    0/255 mask non-binary.
+    resampled onto the image grid exactly as `sitk.Resample(mask, image)`
+    does — through PHYSICAL space (origin/spacing/orientation/per-frame z
+    offsets, dicom.resample_to_grid), so a mask with a shifted origin,
+    different spacing, or z-reversed stored frame order lands on the
+    correct voxels — then rebinarized at >128 because interpolation makes
+    the nominally 0/255 mask non-binary. When either series lacks geometry
+    tags, falls back to the array-space rule (same shape = same grid, else
+    trilinear array resize); that same-grid assumption is recorded in
+    PARITY.md ("DICOM mask geometry").
     """
-    from .dicom import load_dicom_series
+    from .dicom import load_dicom_series, resample_to_grid
 
-    image = load_dicom_series(rec.image_path).astype(np.float32)
-    mask = load_dicom_series(rec.mask_path).astype(np.float32)
-    if mask.shape != image.shape:
+    image, igeom = load_dicom_series(rec.image_path, with_geometry=True)
+    mask, mgeom = load_dicom_series(rec.mask_path, with_geometry=True)
+    image = image.astype(np.float32)
+    mask = mask.astype(np.float32)
+    if igeom is not None and mgeom is not None:
+        mask = resample_to_grid(mask, mgeom, image.shape, igeom)
+    elif mask.shape != image.shape:
         mask = resize_volume(mask, image.shape)
     return image, (mask > 128).astype(np.float32)
 
@@ -488,15 +506,64 @@ def build_image_cohort(
     by_anon = [{r.anon_id: r for r in m} for m in manifests]
     anon_ids = sorted(common)
 
-    vols, uids = [], []
-    for anon in anon_ids:
-        channels = [
-            load_patient_volume(by_anon[m][anon], spatial_size, zero_slices)
-            for m in range(len(manifests))
-        ]
-        vols.append(np.stack(channels, axis=-1))
-        uids.append(by_anon[0][anon].uid)
+    per_modality = [
+        _load_modality_volumes(
+            [by_anon[m][anon] for anon in anon_ids], spatial_size, zero_slices
+        )
+        for m in range(len(manifests))
+    ]
     return ImageCohort(
-        uids=np.asarray(uids, dtype=np.int64),
-        volumes=np.stack(vols, axis=0).astype(np.float32),
+        uids=np.asarray([by_anon[0][a].uid for a in anon_ids], dtype=np.int64),
+        volumes=np.stack(per_modality, axis=-1).astype(np.float32),
     )
+
+
+def _load_modality_volumes(records, spatial_size, zero_slices) -> np.ndarray:
+    """Decode one modality's records into an (N, *spatial) array.
+
+    Host-side cohort build is the startup bottleneck at scale (the per-step
+    path never touches the host): NIfTI records go through the C++ threaded
+    pool (native/mmnn_native.cpp:mmnn_preprocess_cohort — GIL-free fused
+    decode/mask/resize across std::thread workers); any patient the native
+    path rejects (exotic NIfTI variants) is re-decoded through the numpy
+    fallback, preserving load_patient_volume's semantics exactly
+    (tests/test_native.py::test_cohort_build_uses_native_pool). DICOM
+    records decode through the pure-python reader on a host thread pool
+    (numpy resize/interp release the GIL between slices).
+    """
+    out: list = [None] * len(records)
+
+    nifti_idx = [i for i, r in enumerate(records) if r.format != "dicom"]
+    if nifti_idx:
+        from .native import preprocess_cohort_native
+
+        vols, errors = preprocess_cohort_native(
+            [records[i].image_path for i in nifti_idx],
+            [records[i].mask_path for i in nifti_idx],
+            zero_slices, spatial_size, return_errors=True,
+        )
+        if vols is not None:
+            for j, i in enumerate(nifti_idx):
+                if errors[j] == 0:
+                    out[i] = vols[j]
+
+    dicom_idx = [i for i, r in enumerate(records) if r.format == "dicom"]
+    if len(dicom_idx) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor() as ex:
+            for i, v in zip(
+                dicom_idx,
+                ex.map(
+                    lambda i: load_patient_volume(
+                        records[i], spatial_size, zero_slices
+                    ),
+                    dicom_idx,
+                ),
+            ):
+                out[i] = v
+
+    for i, v in enumerate(out):  # numpy fallback / serial remainder
+        if v is None:
+            out[i] = load_patient_volume(records[i], spatial_size, zero_slices)
+    return np.stack(out, axis=0)

@@ -71,6 +71,16 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.mmnn_preprocess_cohort.restype = None
+            if hasattr(lib, "mmnn_jpeg_lossless_decode"):
+                lib.mmnn_jpeg_lossless_decode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.mmnn_jpeg_lossless_decode.restype = ctypes.c_int
             _LIB = lib
             break
     return _LIB
@@ -127,13 +137,47 @@ def preprocess_patient_native(
     return out.reshape((m0, m1, m2), order="F")
 
 
+def jpeg_lossless_decode_native(blob: bytes, rows: int,
+                                cols: int) -> np.ndarray | None:
+    """Decode one SOF3 frame via C++ (~100x the python oracle); None when the
+    library is unavailable or the stream needs the python path (e.g.
+    multi-component). rows/cols are the expected DICOM dimensions; the
+    stream's own SOF3 header is authoritative and checked against them."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mmnn_jpeg_lossless_decode"):
+        return None
+    out = np.empty(rows * cols, dtype=np.uint16)
+    r = ctypes.c_int(0)
+    c = ctypes.c_int(0)
+    rc = lib.mmnn_jpeg_lossless_decode(
+        blob, len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size, ctypes.byref(r), ctypes.byref(c),
+    )
+    if rc == 12:  # multi-component: python fallback decodes it
+        return None
+    if rc != 0:
+        raise ValueError(f"native JPEG-Lossless decode failed (rc={rc})")
+    if (r.value, c.value) != (rows, cols):
+        raise ValueError(
+            f"JPEG frame is {r.value}x{c.value}, DICOM says {rows}x{cols}"
+        )
+    return out.reshape(rows, cols)
+
+
 def preprocess_cohort_native(
-    image_paths, mask_paths, zero_slices: str, spatial_size, num_threads: int = 0
-) -> np.ndarray | None:
-    """Parallel decode+preprocess of N patients -> (N, m0, m1, m2) float32."""
+    image_paths, mask_paths, zero_slices: str, spatial_size,
+    num_threads: int = 0, return_errors: bool = False,
+):
+    """Parallel decode+preprocess of N patients -> (N, m0, m1, m2) float32.
+
+    return_errors=True returns (volumes, errors) with per-patient status
+    codes (0 = ok) instead of raising, so callers can re-decode failed
+    patients through the numpy fallback (data/images._load_modality_volumes).
+    """
     lib = _load()
     if lib is None:
-        return None
+        return (None, None) if return_errors else None
     n = len(image_paths)
     m0, m1, m2 = spatial_size
     out = np.empty((n, m0 * m1 * m2), dtype=np.float32)
@@ -152,13 +196,16 @@ def preprocess_cohort_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         errors.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
+    # each row is a fortran-ordered (m0, m1, m2) volume
+    vols = np.ascontiguousarray(
+        out.reshape(n, m2, m1, m0).transpose(0, 3, 2, 1)
+    )
+    if return_errors:
+        return vols, errors
     bad = np.nonzero(errors)[0]
     if len(bad):
         raise IOError(
             f"native cohort preprocess failed for {len(bad)} patients, first: "
             f"{image_paths[bad[0]]} (rc={errors[bad[0]]})"
         )
-    # each row is a fortran-ordered (m0, m1, m2) volume
-    return np.ascontiguousarray(
-        out.reshape(n, m2, m1, m0).transpose(0, 3, 2, 1)
-    )
+    return vols

