@@ -1,0 +1,525 @@
+"""Train-dynamics parity harness: this framework vs a faithful torch twin.
+
+VERDICT r2 item 2: op-level parity (test_torch_parity.py) proves individual
+forwards match, but nothing demonstrated that the two frameworks *converge
+to the same place* on the same data. This harness is that evidence — the
+only obtainable proxy for the reference's C-index north star
+(/root/reference/README.md:51) without the private cohort.
+
+Design:
+  * ONE synthetic multimodal cohort (images + clinical, planted survival
+    signal in both modalities), one fixed split.
+  * The SAME batch stream: both sides consume EpochBatcher.epoch_indices
+    (deterministic numpy) with the same seed. n_train is chosen divisible
+    by the super-batch so no wrap-padding occurs and the trajectory
+    comparison is exact (the padded-tail deviation is measured separately
+    by run --ragged; see PARITY.md).
+  * IDENTICAL initial weights: the flax model is initialized, then every
+    parameter is copied into the torch twin (conv kernels transposed
+    (k,k,k,I,O)->(O,I,k,k,k), dense (I,O)->(O,I)).
+  * IDENTICAL training semantics, mirrored line-for-line from
+    train/loop.train_survival + train/steps._survival_superstep_body:
+    SGD-nesterov(momentum .9, wd 1e-4 added to the grad pre-momentum),
+    OneCycleLR (torch: torch.optim.lr_scheduler.OneCycleLR with defaults;
+    jax: optax cosine_onecycle via train/schedule.make_optimizer),
+    gradient accumulation with per-microbatch BatchNorm and per-microbatch
+    Cox loss (ref /root/reference/main.py:403-407,478-481), gradient-blend
+    weighted loss with 3 heads, blend-weight updates from dedup'd
+    train-stream preds + whole-split val preds, best-epoch selection on the
+    unweighted multimodal-head validation Cox loss.
+  * augment off, all dropout 0 (removes RNG-stream dependence; the
+    remaining divergence sources are float arithmetic + any semantic drift
+    — the thing this harness exists to catch).
+
+Known, bounded non-semantic difference: torch BatchNorm updates its
+running variance with the UNBIASED batch variance (n/(n-1)) while flax
+uses the biased one; at the harness's BN reduction sizes (>=512 elements)
+the relative drift is <0.2% per update and only affects eval-mode
+forwards. Everything else is bitwise-mirrorable math.
+
+Run:  python benchmarks/parity_twin.py [--epochs 12] [--out PARITY_TWIN.json]
+Test: tests/test_parity_twin.py runs a small config end-to-end.
+
+No code in this file is taken from /root/reference; the torch twin is
+written from this repo's own flax modules' docstrings and the public
+training recipe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Synthetic cohort with planted signal in BOTH modalities
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_cohort(n: int, size: int, n_clinical: int = 11, seed: int = 0):
+    """Images (n, s, s, s, 2) + clinical (n, f); risk depends on a planted
+    image blob intensity AND a clinical feature, so both branches carry
+    signal. Two target columns with correlated risks."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(0.0, 0.3, size=(n, size, size, size, 2)).astype(np.float32)
+    blob = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+    c = size // 2
+    r = max(1, size // 6)
+    imgs[:, c - r:c + r, c - r:c + r, c - r:c + r, :] += blob[:, None, None, None, None]
+    imgs = np.abs(imgs)
+
+    clin = rng.normal(size=(n, n_clinical)).astype(np.float32)
+    risk0 = 1.5 * blob + 1.0 * clin[:, 0]
+    risk1 = 1.0 * blob + 1.5 * clin[:, 1]
+    base = rng.exponential(scale=200.0, size=(n, 2))
+    durations = np.stack(
+        [base[:, 0] / np.exp(risk0), base[:, 1] / np.exp(risk1)], axis=1
+    ).astype(np.float32)
+    durations = np.clip(durations, 1.0, None)
+    events = (rng.random((n, 2)) < 0.8).astype(np.float32)
+    return imgs, clin, events, durations
+
+
+# ---------------------------------------------------------------------------
+# Torch twin modules (mirror mmnn_sts_tpu/models/{tinycnn,mlp,multimodal}.py)
+# ---------------------------------------------------------------------------
+
+
+def build_torch_twin(n_clinical: int, features: int = 12, classes: int = 2):
+    import torch
+    import torch.nn as nn
+
+    class TwinTinyCNN(nn.Module):
+        """Mirror of models/tinycnn.TinyCNN: five VALID 3^3 convs (widths
+        64,32,32,16,16) each followed by BatchNorm — NO activation — then
+        GAP -> Linear(features). Dropout prob 0 in the twin."""
+
+        def __init__(self):
+            super().__init__()
+            widths = [64, 32, 32, 16, 16]
+            prev = 2
+            convs, bns = [], []
+            for w in widths:
+                convs.append(nn.Conv3d(prev, w, 3, bias=True))
+                bns.append(nn.BatchNorm3d(w))
+                prev = w
+            self.convs = nn.ModuleList(convs)
+            self.bns = nn.ModuleList(bns)
+            self.features = nn.Linear(prev, features)
+
+        def forward(self, x):
+            for conv, bn in zip(self.convs, self.bns):
+                x = bn(conv(x))
+            x = x.mean(dim=(2, 3, 4))
+            return self.features(x)
+
+    class TwinMLP(nn.Module):
+        """Mirror of models/mlp.MLP backbone+features (return_features path):
+        Linear -> BN -> ReLU per stage, widths 32,16,8,8,8 then features."""
+
+        def __init__(self):
+            super().__init__()
+            dims = [n_clinical, 32, 16, 8, 8, 8, features]
+            self.linears = nn.ModuleList(
+                nn.Linear(a, b) for a, b in zip(dims, dims[1:])
+            )
+            self.bns = nn.ModuleList(nn.BatchNorm1d(d) for d in dims[1:])
+
+        def forward(self, x):
+            for lin, bn in zip(self.linears, self.bns):
+                x = torch.relu(bn(lin(x)))
+            return x
+
+    class TwinMultiModal(nn.Module):
+        """Mirror of models/multimodal.MultiModalModel(blend=True)."""
+
+        def __init__(self):
+            super().__init__()
+            self.image_model = TwinTinyCNN()
+            self.clinical_model = TwinMLP()
+            self.output_head = nn.Linear(2 * features, classes)
+            self.image_output_head = nn.Linear(features, classes)
+            self.clinical_output_head = nn.Linear(features, classes)
+
+        def forward(self, img, clin):
+            fi = self.image_model(img)
+            fc = self.clinical_model(clin)
+            fused = self.output_head(torch.cat([fi, fc], dim=1))
+            return torch.stack(
+                [fused, self.image_output_head(fi), self.clinical_output_head(fc)],
+                dim=0,
+            )
+
+    return TwinMultiModal()
+
+
+def copy_flax_to_torch(variables, tmodel):
+    """Copy every flax param into the torch twin (same init point)."""
+    import torch
+
+    p = variables["params"]
+
+    def t(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        im = p["image_model"]
+        for i in range(5):
+            conv = im[f"conv{i + 1}"]
+            tmodel.image_model.convs[i].weight.copy_(
+                t(conv["kernel"]).permute(4, 3, 0, 1, 2)
+            )
+            tmodel.image_model.convs[i].bias.copy_(t(conv["bias"]))
+            bn = im[f"bn{i + 1}"]["BatchNorm_0"]
+            tmodel.image_model.bns[i].weight.copy_(t(bn["scale"]))
+            tmodel.image_model.bns[i].bias.copy_(t(bn["bias"]))
+        tmodel.image_model.features.weight.copy_(t(im["features"]["kernel"]).T)
+        tmodel.image_model.features.bias.copy_(t(im["features"]["bias"]))
+
+        cl = p["clinical_model"]
+        names = [f"dense_{i}" for i in range(5)] + ["dense_features"]
+        bn_names = [f"bn_{i}" for i in range(5)] + ["bn_features"]
+        for i, (dn, bn_name) in enumerate(zip(names, bn_names)):
+            tmodel.clinical_model.linears[i].weight.copy_(t(cl[dn]["kernel"]).T)
+            tmodel.clinical_model.linears[i].bias.copy_(t(cl[dn]["bias"]))
+            bn = cl[bn_name]["BatchNorm_0"]
+            tmodel.clinical_model.bns[i].weight.copy_(t(bn["scale"]))
+            tmodel.clinical_model.bns[i].bias.copy_(t(bn["bias"]))
+
+        for tl, name in [
+            (tmodel.output_head, "output_head"),
+            (tmodel.image_output_head, "image_output_head"),
+            (tmodel.clinical_output_head, "clinical_output_head"),
+        ]:
+            tl.weight.copy_(t(p[name]["kernel"]).T)
+            tl.bias.copy_(t(p[name]["bias"]))
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces (framework-neutral numpy)
+# ---------------------------------------------------------------------------
+
+
+def torch_cox_loss(log_h, events, durations):
+    """Breslow multi-column Cox partial likelihood, mirroring ops/cox.py
+    (per-column mean-per-event, summed over columns)."""
+    import torch
+
+    total = log_h.new_zeros(())
+    for c in range(log_h.shape[1]):
+        order = torch.argsort(-durations[:, c], stable=True)
+        lh = log_h[order, c]
+        ev = events[order, c]
+        gamma = lh.max().detach()
+        log_cum = torch.log(torch.cumsum(torch.exp(lh - gamma), 0) + 1e-7) + gamma
+        total = total - ((lh - log_cum) * ev).sum() / ev.sum().clamp(min=1.0)
+    return total
+
+
+def np_blend_update(weights, lvn, ltn, has_history, train_loss, val_loss):
+    """Mirror ops/blending.blend_update (survival sign convention)."""
+    o_n = lvn - ltn
+    o_npn = val_loss - train_loss
+    delta_g = lvn - val_loss
+    delta_o = o_npn - o_n
+    g = delta_g / np.square(delta_o)
+    e = np.exp(g - g.max())
+    new_w = e / e.sum()
+    k = len(weights)
+    w = new_w if has_history else np.full(k, 1.0 / k)
+    return w.astype(np.float32), val_loss.astype(np.float32), \
+        train_loss.astype(np.float32), True
+
+
+@dataclasses.dataclass
+class TwinConfig:
+    n_train: int = 32
+    n_val: int = 8
+    size: int = 12
+    n_clinical: int = 11
+    epochs: int = 8
+    micro_batch: int = 8
+    accum: int = 2  # super-batch 16
+    lr: float = 5e-4
+    blend_update_interval: int = 2
+    seed: int = 7
+    ragged: bool = False  # n_train not divisible by super-batch (wrap-pad)
+
+
+# ---------------------------------------------------------------------------
+# Torch twin training loop (mirrors train/loop.train_survival)
+# ---------------------------------------------------------------------------
+
+
+def run_torch(cfg: TwinConfig, data, variables):
+    import torch
+
+    from mmnn_sts_tpu.data.loader import EpochBatcher
+    from mmnn_sts_tpu.ops.metrics import c_indices_per_class
+
+    imgs, clin, events, durations = data
+    n = cfg.n_train
+    tr = slice(0, n)
+    va = slice(n, n + cfg.n_val)
+
+    torch.manual_seed(0)
+    model = build_torch_twin(cfg.n_clinical)
+    copy_flax_to_torch(variables, model)
+
+    # Mirror ops/augment.eval_transform — the step applies the deterministic
+    # Normalize + ScaleIntensity even with augmentation off
+    # (train/steps._augment_inputs), so the twin must too.
+    from mmnn_sts_tpu.constants import IMAGE_DATA_MEAN, IMAGE_DATA_STDDEV
+
+    timgs = np.empty_like(imgs)
+    for i in range(imgs.shape[0]):
+        v = imgs[i]
+        mx = v.max()
+        v = (v - IMAGE_DATA_MEAN * mx) / (IMAGE_DATA_STDDEV * mx)
+        mn, mx2 = v.min(), v.max()
+        timgs[i] = (v - mn) / max(mx2 - mn, 1e-12)
+    img_t = torch.tensor(timgs).permute(0, 4, 1, 2, 3)  # NCDHW
+    clin_t = torch.tensor(clin)
+    ev_t = torch.tensor(events)
+    du_t = torch.tensor(durations)
+
+    opt = torch.optim.SGD(model.parameters(), lr=cfg.lr, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    batcher = EpochBatcher(n, cfg.micro_batch, cfg.accum, seed=cfg.seed,
+                           two_level=True)
+    steps_per_epoch = batcher.steps_per_epoch()
+    total = max(steps_per_epoch * cfg.epochs, 4)  # schedule.py clamp
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=cfg.lr, total_steps=total, pct_start=0.3,
+        anneal_strategy="cos", div_factor=25.0, final_div_factor=1e4,
+    )
+
+    weights = np.full(3, 1.0 / 3, dtype=np.float32)
+    lvn = np.zeros(3, np.float32)
+    ltn = np.zeros(3, np.float32)
+    has_history = False
+
+    hist = {"train_loss": [], "val_loss": [], "selection_loss": [],
+            "val_c": [], "blend_weights": [weights.tolist()], "lr": []}
+    best_loss, best_epoch = np.inf, -1
+
+    for epoch in range(cfg.epochs):
+        idx = batcher.epoch_indices(epoch)  # (S, A, B)
+        epoch_loss = 0.0
+        epoch_preds = []
+        model.train()
+        w_t = torch.tensor(weights)
+        for step_idx in idx:
+            opt.zero_grad()
+            for mb in step_idx:
+                mb = torch.tensor(np.asarray(mb, dtype=np.int64))
+                out = model(img_t[mb], clin_t[mb])  # (3, B, C)
+                head_losses = torch.stack(
+                    [torch_cox_loss(out[k], ev_t[mb], du_t[mb])
+                     for k in range(3)]
+                )
+                loss = (w_t * head_losses).sum()
+                loss.backward()
+                epoch_loss += float(loss.detach())
+                epoch_preds.append(out.detach().numpy())
+            hist["lr"].append(float(opt.param_groups[0]["lr"]))
+            opt.step()
+            sched.step()
+        # (S*A, 3, B, C) -> (3, S*A*B, C) in (s, a, b) sample order —
+        # identical to loop._flatten_epoch_preds — then dedup the wrap-pad
+        arr = np.asarray(epoch_preds)
+        flat = arr.transpose(1, 0, 2, 3).reshape(3, -1, arr.shape[-1])[:, :n]
+        flat_order = idx.reshape(-1)[:n]
+        hist["train_loss"].append(epoch_loss / n)
+
+        # Whole-split validation (eval mode, running stats)
+        model.eval()
+        with torch.no_grad():
+            vout = model(img_t[va], clin_t[va])  # (3, Nv, C)
+            v_head = torch.stack(
+                [torch_cox_loss(vout[k], ev_t[va], du_t[va]) for k in range(3)]
+            ).numpy()
+            val_loss = float((weights * v_head).sum())
+            selection = float(v_head[0])
+        vc = c_indices_per_class(
+            vout[0].numpy(), events[va], durations[va]
+        )
+        hist["val_loss"].append(val_loss / cfg.n_val)
+        hist["selection_loss"].append(selection)
+        hist["val_c"].append(float(np.mean(vc)))
+        if selection < best_loss:
+            best_loss, best_epoch = selection, epoch + 1
+
+        if (epoch + 1) % cfg.blend_update_interval == 0:
+            t_head = np.stack([
+                float(torch_cox_loss(
+                    torch.tensor(flat[k]),
+                    ev_t[torch.tensor(flat_order)],
+                    du_t[torch.tensor(flat_order)],
+                ))
+                for k in range(3)
+            ]).astype(np.float32)
+            weights, lvn, ltn, has_history = np_blend_update(
+                weights, lvn, ltn, has_history, t_head, v_head.astype(np.float32)
+            )
+            hist["blend_weights"].append(weights.tolist())
+
+    hist["best_epoch"] = best_epoch
+    hist["best_selection"] = float(best_loss)
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# This framework (drives the real train loop)
+# ---------------------------------------------------------------------------
+
+
+def run_jax(cfg: TwinConfig, data, tmp_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from mmnn_sts_tpu.data.loader import build_device_dataset
+    from mmnn_sts_tpu.models.multimodal import MultiModalModel
+    from mmnn_sts_tpu.models.tinycnn import TinyCNN
+    from mmnn_sts_tpu.parallel.mesh import make_mesh
+    from mmnn_sts_tpu.train.loop import LoopConfig, train_survival
+    from mmnn_sts_tpu.train.schedule import make_optimizer
+    from mmnn_sts_tpu.train.state import create_train_state
+
+    imgs, clin, events, durations = data
+    n = cfg.n_train
+    mesh = make_mesh()
+    train_ds = build_device_dataset(
+        np.arange(n), mesh, image_volumes=imgs[:n], clinical=clin[:n],
+        events=events[:n], durations=durations[:n],
+    )
+    val_ds = build_device_dataset(
+        np.arange(cfg.n_val), mesh,
+        image_volumes=imgs[n:n + cfg.n_val], clinical=clin[n:n + cfg.n_val],
+        events=events[n:n + cfg.n_val], durations=durations[n:n + cfg.n_val],
+    )
+    image_model = TinyCNN(in_channels=2, out_channels=2, feature_channels=12,
+                          dropout_prob=0.0)
+    model = MultiModalModel(image_model=image_model,
+                            num_clinical_inputs=cfg.n_clinical,
+                            num_classes=2, num_features=12, blend=True,
+                            clinical_dropout_prob=0.0)
+    s = cfg.size
+    sample = {"image": jnp.zeros((2, s, s, s, 2)),
+              "clinical": jnp.zeros((2, cfg.n_clinical))}
+    super_batch = cfg.micro_batch * cfg.accum
+    spe = int(math.ceil(n / super_batch))
+    tx = make_optimizer(cfg.lr, spe, cfg.epochs)
+    state = create_train_state(model, tx, sample, seed=0)
+    variables = {"params": jax.device_get(state.params)}
+
+    loop_cfg = LoopConfig(
+        epochs=cfg.epochs, batch_size=cfg.micro_batch,
+        super_batch=super_batch, blend=True,
+        blend_update_interval=cfg.blend_update_interval,
+        val_interval=1, seed=cfg.seed, output_dir=tmp_dir, augment=False,
+    )
+    result = train_survival(state, train_ds, val_ds, loop_cfg)
+    hist = {
+        "train_loss": [float(x) for x in result.history["train_loss"]],
+        "val_loss": [float(x) for x in result.history["val_loss"]],
+        "val_c": [float(x) for x in result.history["val_c"]],
+        "best_epoch": int(result.best_epoch),
+        "best_selection": float(result.best_metric),
+    }
+    import os
+
+    blend_csv = os.path.join(tmp_dir, "gblend_weights_history.csv")
+    if os.path.exists(blend_csv):
+        hist["blend_weights"] = np.loadtxt(
+            blend_csv, delimiter=","
+        ).reshape(-1, 3).tolist()
+    metrics_path = os.path.join(tmp_dir, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        lines = [json.loads(ln) for ln in open(metrics_path)]
+        hist["selection_loss"] = [
+            float(l["selection_loss"]) for l in lines
+            if l.get("kind") == "survival_epoch"
+        ]
+    return hist, variables
+
+
+def compare(cfg: TwinConfig, jax_hist, torch_hist):
+    """Per-epoch deltas + summary verdicts."""
+    jt = np.asarray(jax_hist["train_loss"])
+    tt = np.asarray(torch_hist["train_loss"])
+    jv = np.asarray(jax_hist["val_loss"])
+    tv = np.asarray(torch_hist["val_loss"])
+    rel = lambda a, b: float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-6)))
+    out = {
+        "config": dataclasses.asdict(cfg),
+        "jax": jax_hist,
+        "torch": torch_hist,
+        "first_epoch_train_rel_delta": float(
+            abs(jt[0] - tt[0]) / max(abs(tt[0]), 1e-6)
+        ),
+        "max_train_rel_delta": rel(jt, tt),
+        "max_val_rel_delta": rel(jv, tv),
+        "final_val_c_delta": float(
+            abs(jax_hist["val_c"][-1] - torch_hist["val_c"][-1])
+        ),
+        "best_epoch_match": jax_hist["best_epoch"] == torch_hist["best_epoch"],
+    }
+    if "selection_loss" in jax_hist and "selection_loss" in torch_hist:
+        js = np.asarray(jax_hist["selection_loss"])
+        ts = np.asarray(torch_hist["selection_loss"])
+        out["max_selection_rel_delta"] = rel(js, ts)
+        # a best-epoch flip is benign when the series is flat enough that
+        # the two frameworks' minima are within the cross-framework noise
+        out["best_selection_rel_delta"] = float(
+            abs(js.min() - ts.min()) / max(abs(ts.min()), 1e-6)
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--n-train", type=int, default=32)
+    ap.add_argument("--size", type=int, default=12)
+    ap.add_argument("--ragged", action="store_true",
+                    help="n_train -> n_train - 4: measures the wrap-pad "
+                         "train-dynamics deviation (PARITY.md)")
+    ap.add_argument("--out", default="PARITY_TWIN.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    cfg = TwinConfig(epochs=args.epochs, n_train=args.n_train, size=args.size,
+                     ragged=args.ragged)
+    if cfg.ragged:
+        cfg.n_train -= 4
+    data = make_synthetic_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                 cfg.n_clinical, seed=cfg.seed)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="parity_twin_")
+    jax_hist, variables = run_jax(cfg, data, tmp)
+    torch_hist = run_torch(cfg, data, variables)
+    out = compare(cfg, jax_hist, torch_hist)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k not in ("jax", "torch", "config")}))
+    print(json.dumps({"jax_train": out["jax"]["train_loss"],
+                      "torch_train": out["torch"]["train_loss"]}))
+    print(json.dumps({"jax_val_c": out["jax"]["val_c"],
+                      "torch_val_c": out["torch"]["val_c"]}))
+
+
+if __name__ == "__main__":
+    main()

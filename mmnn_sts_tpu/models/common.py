@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,19 +21,74 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class _TorchSemanticsBatchNorm(nn.Module):
+    """BatchNorm whose running-variance update matches torch EXACTLY.
+
+    flax nn.BatchNorm folds the BIASED batch variance into the running
+    average; torch normalizes with the biased variance but updates
+    running_var with the UNBIASED one (x n/(n-1)) — at micro-batch
+    reduction sizes that is a percent-level drift in every eval-mode
+    forward, which the train-dynamics parity harness
+    (benchmarks/parity_twin.py) surfaced as diverging validation/selection
+    trajectories. Parameter/stat tree layout matches nn.BatchNorm
+    (params: scale/bias, batch_stats: mean/var) so checkpoints and the
+    torch-weight importer are unaffected.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # running-stat decay (torch momentum = 0.1)
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(dtype)
+
+
 class BatchNorm(nn.Module):
-    """BatchNorm with torch-default hyperparameters (momentum .1, eps 1e-5)."""
+    """BatchNorm with torch-default hyperparameters (momentum .1, eps 1e-5)
+    and torch-exact running-stat semantics (see _TorchSemanticsBatchNorm).
+    """
 
     use_running_average: bool
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        return _TorchSemanticsBatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -29,6 +29,12 @@ class MultiModalModel(nn.Module):
     num_features: int = 12
     blend: bool = False
     dtype: jnp.dtype | None = None
+    # The reference builds its internal clinical MLP without a dropout
+    # argument, i.e. always the MLP default 0.2 regardless of config
+    # (/root/reference/parser/parser.py:162-168, models/mlp.py:9); the
+    # default preserves that. Overridable (e.g. 0.0) for deterministic
+    # harnesses — benchmarks/parity_twin.py.
+    clinical_dropout_prob: float = 0.2
 
     @nn.compact
     def __call__(
@@ -58,6 +64,7 @@ class MultiModalModel(nn.Module):
             in_channels=self.num_clinical_inputs,
             out_channels=self.num_classes,
             feature_channels=self.num_features,
+            dropout_prob=self.clinical_dropout_prob,
             dtype=self.dtype,
             name="clinical_model",
         )(clinical_data, train=train, return_features=True)
