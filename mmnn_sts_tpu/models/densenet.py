@@ -43,6 +43,91 @@ from .common import (
 )
 
 
+class S2DStemConv(nn.Module):
+    """The 7^sd stride-2 stem convolution, computed space-to-depth.
+
+    A 7-tap stride-2 conv on a 2-channel 64^3 input is the slowest op in
+    the whole training step on TPU (profiled at 8.7 GB/s / ~39 ms forward
+    + 13 ms weight-grad, docs/PERF.md round 3): the 2-channel minor dim
+    wastes the 128-lane vector tile and the implicit-GEMM contraction is
+    tiny. The standard TPU remedy is to reparametrize exactly: block the
+    input 2^sd space-to-depth ((B, 64^3, C) -> (B, 32^3, 2^sd*C)) and run
+    an equivalent 4-tap stride-1 conv whose kernel is a zero-padded
+    re-scatter of the logical 7-tap weights:
+
+        W'[j, t, c, f] = W[2j + t - 1, c, f]   (zero where 2j+t-1 < 0)
+        out[o] = sum_j W'[j] . xs[o + j - 2]   (pad 2 left, 1 right)
+
+    which reproduces out[o] = sum_k W[k] . x[2o + k - 3] bit-for-bit up to
+    float summation order. The logical parameter keeps nn.Conv's exact
+    name/shape ("kernel", (7,)*sd + (C, F)), so checkpoints and the torch
+    weight importer are unaffected; autodiff carries the weight gradient
+    through the (tiny) re-scatter. Falls back to the plain conv when a
+    spatial dim is odd.
+    """
+
+    features: int
+    spatial_dims: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        sd = self.spatial_dims
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal, (7,) * sd + (c, self.features),
+            jnp.float32,
+        )
+        spatial = x.shape[1:-1]
+        if any(s % 2 for s in spatial):
+            # odd extent: plain stride-2 conv (same params)
+            import jax
+
+            lhs, rhs = x, kernel
+            if self.dtype is not None:
+                lhs, rhs = lhs.astype(self.dtype), rhs.astype(self.dtype)
+            dn = ("NDHWC", "DHWIO", "NDHWC") if sd == 3 else \
+                ("NHWC", "HWIO", "NHWC")
+            return jax.lax.conv_general_dilated(
+                lhs, rhs, (2,) * sd, [(3, 3)] * sd, dimension_numbers=dn
+            )
+
+        import jax
+
+        # kernel re-scatter: pad one leading zero per spatial axis, then
+        # interleave (tap, sub-offset) pairs
+        w = jnp.pad(kernel, [(1, 0)] * sd + [(0, 0), (0, 0)])
+        inter = []
+        for _ in range(sd):
+            inter += [4, 2]
+        w = w.reshape(tuple(inter) + (c, self.features))
+        perm = tuple(range(0, 2 * sd, 2)) + tuple(range(1, 2 * sd, 2)) \
+            + (2 * sd, 2 * sd + 1)
+        w = w.transpose(perm).reshape(
+            (4,) * sd + ((2**sd) * c, self.features)
+        )
+
+        # space-to-depth the input
+        b = x.shape[0]
+        shp = [b]
+        for s in spatial:
+            shp += [s // 2, 2]
+        shp += [c]
+        xs = x.reshape(shp)
+        perm = (0,) + tuple(range(1, 1 + 2 * sd, 2)) \
+            + tuple(range(2, 2 + 2 * sd, 2)) + (1 + 2 * sd,)
+        xs = xs.transpose(perm).reshape(
+            (b,) + tuple(s // 2 for s in spatial) + ((2**sd) * c,)
+        )
+
+        if self.dtype is not None:
+            xs, w = xs.astype(self.dtype), w.astype(self.dtype)
+        dn = ("NDHWC", "DHWIO", "NDHWC") if sd == 3 else ("NHWC", "HWIO", "NHWC")
+        return jax.lax.conv_general_dilated(
+            xs, w, (1,) * sd, [(2, 1)] * sd, dimension_numbers=dn
+        )
+
+
 class FusedBottleneck(nn.Module):
     """BN+ReLU+1x1conv via the Pallas fused kernel (ops/pallas/fused_dense).
 
@@ -168,8 +253,8 @@ class DenseNet(nn.Module):
 
     def backbone(self, x, train: bool = False, gradcam_probe=None):
         sd = self.spatial_dims
-        x = conv(self.init_features, 7, sd, stride=2, padding=3,
-                 dtype=self.dtype, name="conv0")(x)
+        x = S2DStemConv(self.init_features, sd, dtype=self.dtype,
+                        name="conv0")(x)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm0")(x)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1, sd)

@@ -15,7 +15,16 @@ TPU-first notes:
   * inputs are already 64^3 (host pipeline resizes per modality before
     stacking, matching ImageDatasets.py:599-602), so Resize is a no-op and
     every op below has static shapes;
-  * layout is (D, H, W, C) channels-last per sample;
+  * PUBLIC layout is (D, H, W, C) channels-last per sample, but the
+    pipeline BODY runs channels-LEADING (C, D, H, W): with C=2 minor the
+    TPU's (8, 128) vector tiling pads the lane dimension 64x, so every
+    elementwise pass costs ~64x its logical bytes (profiled round 3,
+    docs/PERF.md — full-volume augment fusions at ~10 GB/s). One transpose
+    in, one out, and every interior op runs on a 64-lane minor dim;
+  * every resample — the rotation shears, zoom, flip, AND the Gaussian
+    smooth/sharpen — is a banded (n, n) matrix multiply on the MXU (the
+    Gaussians previously lowered to feature_group depthwise convolutions,
+    which at C=2 are layout-hostile on TPU);
   * stochastic application uses jnp.where selects (branchless — cheap on VPU
     relative to the conv FLOPs, and vmap/jit friendly);
   * randomness: jax.random with per-sample key folding. Parity with MONAI's
@@ -134,22 +143,9 @@ def _axis_coords(n):
     return jnp.arange(n, dtype=jnp.float32)
 
 
-def spatial_transform(vol, theta, flip_axis, zoom_factor):
-    """Rotate -> axis-flip -> center-zoom, computed entirely as MXU matmuls.
-
-    TPU-first design: per-voxel gathers (jax map_coordinates) serialize on
-    TPU; instead the rotation is decomposed into three 1-D shears
-    (R = Sx(tan t/2) Sy(-sin t) Sx(tan t/2)) plus an exact quarter-turn, and
-    every 1-D resample (shear / zoom / flip) is a banded (n_out, n_in)
-    interpolation-matrix multiply — batched 64x64 matmuls straight onto the
-    systolic array. Boundary handling is clamp (matching the reference's
-    border/edge padding); interpolation is applied per 1-D stage, which is
-    marginally smoother than a single trilinear pass — distributionally
-    equivalent augmentation (the gather version remains as the oracle).
-
-    flip_axis: 0/1/2, or 3 for "no flip".
-    """
-    d, h, w, _ = vol.shape
+def _spatial_transform_cf(vol, theta, flip_axis, zoom_factor):
+    """Channels-leading core: vol (C, D, H, W)."""
+    _, d, h, w = vol.shape
     c0, c1, c2 = (d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0
 
     # exact quarter-turn + residual in [-pi/4, pi/4] (keeps shear tangents
@@ -159,15 +155,15 @@ def spatial_transform(vol, theta, flip_axis, zoom_factor):
     k = jnp.asarray(k, jnp.int32) % 4
 
     def rot90_k(v):
-        # image rotation by k quarter turns in the (0,1) plane, matching the
-        # continuous rotation convention of spatial_transform_gather
+        # image rotation by k quarter turns in the spatial (0,1) plane,
+        # matching the continuous rotation convention of the gather oracle
         return jax.lax.switch(
             k,
             [
                 lambda x: x,
-                lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),
-                lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
-                lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),
+                lambda x: jnp.flip(jnp.swapaxes(x, 1, 2), axis=1),
+                lambda x: jnp.flip(jnp.flip(x, axis=1), axis=2),
+                lambda x: jnp.flip(jnp.swapaxes(x, 1, 2), axis=2),
             ],
             v,
         )
@@ -179,20 +175,19 @@ def spatial_transform(vol, theta, flip_axis, zoom_factor):
 
     i_coord = _axis_coords(d)
     j_coord = _axis_coords(h)
-    w_coord = _axis_coords(w)
 
     # shear_x(a): out[i, j] = in[i + a * (j - c1), j]
     def shear_x(v, a):
         src = i_coord[None, :] + a * (j_coord[:, None] - c1)  # (h, d)
         m = _interp_rows(src, d)  # (h, d_out, d_in)
-        return jnp.einsum("jix,xjwc->ijwc", m, v,
+        return jnp.einsum("jix,cxjw->cijw", m, v,
                           preferred_element_type=jnp.float32)
 
     # shear_y(b): out[i, j] = in[i, j + b * (i - c0)]
     def shear_y(v, b):
         src = j_coord[None, :] + b * (i_coord[:, None] - c0)  # (d, h)
         m = _interp_rows(src, h)  # (d, h_out, h_in)
-        return jnp.einsum("ijy,iywc->ijwc", m, v,
+        return jnp.einsum("ijy,ciyw->cijw", m, v,
                           preferred_element_type=jnp.float32)
 
     out = shear_x(out, t)
@@ -208,13 +203,35 @@ def spatial_transform(vol, theta, flip_axis, zoom_factor):
     z0 = axis_matrix(d, c0, 0)
     z1 = axis_matrix(h, c1, 1)
     z2 = axis_matrix(w, c2, 2)
-    out = jnp.einsum("ix,xjwc->ijwc", z0, out,
+    out = jnp.einsum("ix,cxjw->cijw", z0, out,
                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("jy,iywc->ijwc", z1, out,
+    out = jnp.einsum("jy,ciyw->cijw", z1, out,
                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("kw,ijwc->ijkc", z2, out,
+    out = jnp.einsum("kw,cijw->cijk", z2, out,
                      preferred_element_type=jnp.float32)
     return out.astype(vol.dtype)
+
+
+def spatial_transform(vol, theta, flip_axis, zoom_factor):
+    """Rotate -> axis-flip -> center-zoom, computed entirely as MXU matmuls.
+
+    TPU-first design: per-voxel gathers (jax map_coordinates) serialize on
+    TPU; instead the rotation is decomposed into three 1-D shears
+    (R = Sx(tan t/2) Sy(-sin t) Sx(tan t/2)) plus an exact quarter-turn, and
+    every 1-D resample (shear / zoom / flip) is a banded (n_out, n_in)
+    interpolation-matrix multiply — batched matmuls straight onto the
+    systolic array, computed in the channels-leading layout (see module
+    docstring). Boundary handling is clamp (matching the reference's
+    border/edge padding); interpolation is applied per 1-D stage, which is
+    marginally smoother than a single trilinear pass — distributionally
+    equivalent augmentation (the gather version remains as the oracle).
+
+    vol: (D, H, W, C). flip_axis: 0/1/2, or 3 for "no flip".
+    """
+    out = _spatial_transform_cf(
+        jnp.transpose(vol, (3, 0, 1, 2)), theta, flip_axis, zoom_factor
+    )
+    return jnp.transpose(out, (1, 2, 3, 0))
 
 
 def rotate_plane01(vol, theta):
@@ -246,30 +263,43 @@ def _gaussian_kernel(sigma, radius=_KERNEL_RADIUS):
     return k / jnp.sum(k)
 
 
-def gaussian_blur(vol, sigmas, radius=_KERNEL_RADIUS):
-    """Separable 3D gaussian blur via three depthwise convs, per-axis sigma.
+def _toeplitz_blur_matrix(n, sigma, radius=_KERNEL_RADIUS):
+    """(n, n) banded matrix applying a 1-D normalized Gaussian with ZERO
+    padding (MONAI separable_filtering default): out = G @ in, with
+    G[i, j] = k[i - j + radius] for |i - j| <= radius.
 
-    vol: (D, H, W, C). Zero ('SAME') padding, matching MONAI's
-    separable_filtering default.
+    A matmul formulation of the 1-D depthwise convolution — the conv
+    version at C=2 forced layout-hostile feature-group convolutions on
+    TPU (docs/PERF.md round 3); the matmul rides the MXU like every other
+    resample in this pipeline.
     """
-    c = vol.shape[-1]
-    out = vol[None]  # (1, D, H, W, C)
-    for axis in range(3):
-        k = _gaussian_kernel(sigmas[axis], radius)
-        kshape = [1, 1, 1]
-        kshape[axis] = 2 * radius + 1
-        kernel = jnp.broadcast_to(
-            k.reshape(kshape + [1, 1]), tuple(kshape) + (1, c)
-        )
-        out = jax.lax.conv_general_dilated(
-            out,
-            kernel.astype(out.dtype),
-            window_strides=(1, 1, 1),
-            padding="SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=c,
-        )
-    return out[0]
+    k = _gaussian_kernel(sigma, radius)
+    idx = jnp.arange(n)
+    diff = idx[:, None] - idx[None, :] + radius  # in [.., 2*radius] on band
+    on_band = (diff >= 0) & (diff <= 2 * radius)
+    return jnp.where(on_band, k[jnp.clip(diff, 0, 2 * radius)], 0.0)
+
+
+def _gaussian_blur_cf(vol, sigmas, radius=_KERNEL_RADIUS):
+    """Separable 3D Gaussian blur as three banded matmuls. vol: (C,D,H,W)."""
+    _, d, h, w = vol.shape
+    g0 = _toeplitz_blur_matrix(d, sigmas[0], radius)
+    g1 = _toeplitz_blur_matrix(h, sigmas[1], radius)
+    g2 = _toeplitz_blur_matrix(w, sigmas[2], radius)
+    out = jnp.einsum("ix,cxjw->cijw", g0, vol,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("jy,ciyw->cijw", g1, out,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("kw,cijw->cijk", g2, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(vol.dtype)
+
+
+def gaussian_blur(vol, sigmas, radius=_KERNEL_RADIUS):
+    """Separable 3D gaussian blur, per-axis sigma, zero ('SAME') padding
+    matching MONAI's separable_filtering default. vol: (D, H, W, C)."""
+    out = _gaussian_blur_cf(jnp.transpose(vol, (3, 0, 1, 2)), sigmas, radius)
+    return jnp.transpose(out, (1, 2, 3, 0))
 
 
 def adjust_contrast(img, gamma):
@@ -315,9 +345,14 @@ def train_augment(
     mean: float = IMAGE_DATA_MEAN,
     std: float = IMAGE_DATA_STDDEV,
 ) -> jax.Array:
-    """Full stochastic train-time pipeline for one (D, H, W, C) sample."""
+    """Full stochastic train-time pipeline for one (D, H, W, C) sample.
+
+    The body runs channels-leading (C, D, H, W): one transpose in, one out
+    (see module docstring for the TPU lane-tiling rationale).
+    """
     keys = jax.random.split(key, 20)
-    img = scale_intensity(normalize(vol, mean, std))
+    img = jnp.transpose(vol, (3, 0, 1, 2))  # -> (C, D, H, W)
+    img = scale_intensity(normalize(img, mean, std))
 
     # Fused spatial stage: RandRotate(15 rad, p=.5) -> RandAxisFlip(p=.5)
     # -> RandZoom(0.9-1.1, p=.5) in one resample. Identity parameters encode
@@ -338,7 +373,7 @@ def train_augment(
         jax.random.uniform(keys[5], (), minval=0.9, maxval=1.1),
         1.0,
     )
-    img = spatial_transform(img, theta, flip_axis, factor)
+    img = _spatial_transform_cf(img, theta, flip_axis, factor)
 
     # RandShiftIntensity(0.1, p=0.3)
     offset = jax.random.uniform(keys[7], (), minval=-0.1, maxval=0.1)
@@ -350,15 +385,15 @@ def train_augment(
 
     # RandGaussianSmooth(p=0.2), sigma ~ U(0.25, 1.5) per axis
     sig = jax.random.uniform(keys[11], (3,), minval=0.25, maxval=1.5)
-    img = _maybe(keys[10], 0.2, lambda v: gaussian_blur(v, sig), img)
+    img = _maybe(keys[10], 0.2, lambda v: _gaussian_blur_cf(v, sig), img)
 
     # RandGaussianSharpen(p=0.2)
     sig1 = jax.random.uniform(keys[13], (3,), minval=0.5, maxval=1.0)
     alpha = jax.random.uniform(keys[14], (), minval=10.0, maxval=30.0)
 
     def sharpen(v):
-        b1 = gaussian_blur(v, sig1)
-        b2 = gaussian_blur(v, jnp.full((3,), 0.5))
+        b1 = _gaussian_blur_cf(v, sig1)
+        b2 = _gaussian_blur_cf(v, jnp.full((3,), 0.5))
         return b1 + alpha * (b1 - b2)
 
     img = _maybe(keys[12], 0.2, sharpen, img)
@@ -372,7 +407,7 @@ def train_augment(
     apply_noise = jax.random.bernoulli(keys[19], 0.3)
     img = jnp.where(apply_noise, img + noise, img)
 
-    return img
+    return jnp.transpose(img, (1, 2, 3, 0))  # -> (D, H, W, C)
 
 
 def eval_transform(
