@@ -95,11 +95,17 @@ def main():
     jax.block_until_ready((state.params, aux["loss"]))
 
     iters = 10
+    # Pre-split all iteration keys OUTSIDE the timed region: each eager
+    # jax.random.split is a full dispatch-tunnel round-trip that would
+    # serialize with the step (the production loop also splits once per run
+    # — train/loop.py epoch_keys), so per-iteration splits would charge the
+    # benchmark for work the real loop never does.
+    step_keys = list(jax.random.split(key, iters))
+    jax.block_until_ready(step_keys)
     times = []
     for i in range(iters):
-        key, k = jax.random.split(key)
         t0 = time.perf_counter()
-        state, aux = step(state, k)
+        state, aux = step(state, step_keys[i])
         # HONEST sync: through the tunneled dev chip, block_until_ready
         # resolves optimistically BEFORE execution completes (measured in
         # docs/PERF.md — it reported 10ms for steps that truly take
