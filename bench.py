@@ -115,10 +115,38 @@ def main():
         times.append(time.perf_counter() - t0)
     jax.device_get(jax.tree.leaves(state.params)[0])
     # median per-step time: robust to transient tunnel/dispatch hiccups
-    dt = float(np.median(times))
+    fenced_dt = float(np.median(times))
+
+    if os.environ.get("MMNN_BENCH_PIPELINED"):
+        # PIPELINED measurement — the production-representative number. The
+        # train state threads through chained supersteps (step i+1 consumes
+        # step i's state), so fetching the LAST step's loss transitively
+        # forces real execution of every step in the chain: as honest as
+        # the per-step fence, but dispatch overlaps device execution the
+        # way the real training loop does (train/loop.py appends device
+        # arrays and never fences mid-epoch), so the ~tens-of-ms relay
+        # round-trip is amortized over the chain instead of charged to
+        # every step. Measured 88 ms/step vs 115 ms fenced. NOT the
+        # default: a deep unfenced dispatch queue intermittently stalls
+        # this environment's relay (the fused-epoch pathology, docs/PERF.md)
+        # — the watchdog runs it as a separately-bounded child and merges
+        # the result only when it completes.
+        chain_keys = list(jax.random.split(jax.random.key(1), iters))
+        jax.block_until_ready(chain_keys)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, aux = step(state, chain_keys[i])
+        jax.device_get(aux["loss"])  # forces the chain (state dependency)
+        pipelined_dt = (time.perf_counter() - t0) / iters
+        print(json.dumps(
+            {"pipelined_step_ms": round(pipelined_dt * 1e3, 1),
+             "pipelined_volumes_per_sec_per_chip": round(
+                 accum * b / pipelined_dt / n_chips, 2)}
+        ))
+        return
 
     volumes = accum * b
-    vps_per_chip = volumes / dt / n_chips
+    vps_per_chip = volumes / fenced_dt / n_chips
     print(
         json.dumps(
             {
@@ -129,6 +157,7 @@ def main():
                 "vs_baseline": round(
                     vps_per_chip / _baseline_volumes_per_sec(), 2
                 ),
+                "fenced_step_ms": round(fenced_dt * 1e3, 1),
             }
         )
     )
@@ -152,24 +181,40 @@ def _run_with_watchdog():
                                 ".jax_cache"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-    for attempt in range(3):
+    def child_json(child_env, timeout):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=600, capture_output=True, text=True,
+                env=child_env, timeout=timeout, capture_output=True,
+                text=True,
             )
         except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1} timed out; retrying "
-                  "(relay hang — see docs/PERF.md)", file=sys.stderr)
-            continue
+            return None, "timed out (relay hang — see docs/PERF.md)"
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):
-                print(line)
-                return 0
-        print(f"bench attempt {attempt + 1} produced no result "
-              f"(rc={out.returncode}); stderr tail: "
-              f"{out.stderr[-500:]}", file=sys.stderr)
-    return 1
+                return json.loads(line), None
+        return None, (f"no result (rc={out.returncode}); stderr tail: "
+                      f"{out.stderr[-500:]}")
+
+    result = None
+    for attempt in range(3):
+        result, err = child_json(env, timeout=600)
+        if result is not None:
+            break
+        print(f"bench attempt {attempt + 1}: {err}", file=sys.stderr)
+    if result is None:
+        return 1
+
+    # Optional pipelined diagnostic: production-representative dispatch
+    # overlap, but a deep unfenced queue intermittently stalls the relay —
+    # bounded separately and merged only on success (single attempt).
+    pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"), timeout=420)
+    if pl is not None:
+        result.update(pl)
+    else:
+        print(f"pipelined diagnostic skipped: {err}", file=sys.stderr)
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

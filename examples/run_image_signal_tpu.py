@@ -140,13 +140,19 @@ def main():
     ])
     print("INFER_RC", rc, flush=True)
 
-    # summarize
+    # summarize. Direction convention: the logged val_c is the reference's
+    # metric verbatim (lifelines concordance on raw log-hazard preds,
+    # /root/reference/main.py:122) under which a correctly trained Cox risk
+    # model scores BELOW 0.5; the risk-direction concordance is 1 - val_c
+    # (exact here: all events observed, no ties). See
+    # examples/tpu_image_signal_run/README.md.
     lines = [json.loads(ln) for ln in open(os.path.join(out, "metrics.jsonl"))]
     epochs_log = [l for l in lines if l.get("kind") == "survival_epoch"]
-    best_val_c = max(l["val_c"] for l in epochs_log)
+    final_val_c = epochs_log[-1]["val_c"]
     print(json.dumps({
-        "best_val_c": best_val_c,
-        "final_val_c": epochs_log[-1]["val_c"],
+        "final_val_c_reference_convention": final_val_c,
+        "final_val_risk_concordance": 1.0 - final_val_c,
+        "best_val_risk_concordance": max(1.0 - l["val_c"] for l in epochs_log),
         "epoch_seconds_median": float(np.median(
             [l["epoch_seconds"] for l in epochs_log[2:]]
         )),

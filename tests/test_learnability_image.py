@@ -189,9 +189,10 @@ def test_gradcam_localizes_lesion(image_signal_cohort, trained_image_model):
     # activation so the map is coarse — require ~3x chance, measured 0.098
     # on this fixture (≈5x chance)
     assert np.mean(ious) > 0.05, f"mean Grad-CAM IoU {np.mean(ious):.3f}"
-    # directional sanity check only — the IoU above is the quantitative
-    # localization claim; per-patient enrichment is noisy (measured mean
-    # 1.17x, range 0.5-1.8x across 6 held-out patients)
-    assert np.mean(enrichments) > 1.0, (
+    # falsifiable enrichment bar: seed-deterministic fixture measures mean
+    # 1.17x (per-patient range 0.5-1.8x across 6 held-out patients); 1.1x
+    # requires genuine in-lesion concentration while leaving margin for
+    # cross-platform float drift
+    assert np.mean(enrichments) > 1.1, (
         f"attention not enriched in lesion ({np.mean(enrichments):.2f}x)"
     )
