@@ -38,7 +38,13 @@ the relative drift is <0.2% per update and only affects eval-mode
 forwards. Everything else is bitwise-mirrorable math.
 
 Run:  python benchmarks/parity_twin.py [--epochs 12] [--out PARITY_TWIN.json]
-Test: tests/test_parity_twin.py runs a small config end-to-end.
+      python benchmarks/parity_twin.py --task classification
+        (the classification loop has distinct semantics — one optimizer
+         step per batch with no accumulation, BCE-with-logits + pos_weight,
+         F1 best-model selection, the classification blend-sign convention
+         — mirrored from train/loop.train_classification; ref
+         /root/reference/main.py:205-217,147-149,222-268)
+Test: tests/test_parity_twin.py runs both tasks on small configs end-to-end.
 
 No code in this file is taken from /root/reference; the torch twin is
 written from this repo's own flax modules' docstrings and the public
@@ -220,11 +226,12 @@ def torch_cox_loss(log_h, events, durations):
     return total
 
 
-def np_blend_update(weights, lvn, ltn, has_history, train_loss, val_loss):
-    """Mirror ops/blending.blend_update (survival sign convention)."""
+def np_blend_update(weights, lvn, ltn, has_history, train_loss, val_loss,
+                    survival=True):
+    """Mirror ops/blending.blend_update (both sign conventions)."""
     o_n = lvn - ltn
     o_npn = val_loss - train_loss
-    delta_g = lvn - val_loss
+    delta_g = (lvn - val_loss) if survival else (val_loss - lvn)
     delta_o = o_npn - o_n
     g = delta_g / np.square(delta_o)
     e = np.exp(g - g.max())
@@ -448,6 +455,265 @@ def run_jax(cfg: TwinConfig, data, tmp_dir: str):
     return hist, variables
 
 
+# ---------------------------------------------------------------------------
+# Classification path (train/loop.train_classification semantics)
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_class_cohort(n: int, size: int, n_clinical: int = 11,
+                                seed: int = 0):
+    """Images + clinical with binary labels: class 0 planted in the image
+    blob, class 1 in a clinical feature (both branches carry signal)."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(0.0, 0.3, size=(n, size, size, size, 2)).astype(np.float32)
+    blob = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+    c = size // 2
+    r = max(1, size // 6)
+    imgs[:, c - r:c + r, c - r:c + r, c - r:c + r, :] += blob[:, None, None, None, None]
+    imgs = np.abs(imgs)
+    clin = rng.normal(size=(n, n_clinical)).astype(np.float32)
+    y0 = (blob + rng.normal(0, 0.15, n) > 0.5).astype(np.float32)
+    y1 = (clin[:, 1] + rng.normal(0, 0.3, n) > 0.0).astype(np.float32)
+    labels = np.stack([y0, y1], axis=1)
+    return imgs, clin, labels
+
+
+def _np_f1_scores(tps, fps, fns):
+    """Mirror ops/metrics.f1_scores (incl. divide-by-zero NaN)."""
+    out = []
+    for i in range(len(tps)):
+        denom = float(tps[i]) + 0.5 * (float(fns[i]) + float(fps[i]))
+        out.append(float(tps[i]) / denom if denom > 0 else float("nan"))
+    return np.asarray(out)
+
+
+def run_torch_class(cfg: TwinConfig, data, variables):
+    """Torch twin of train/loop.train_classification: one optimizer step per
+    batch (no accumulation, /root/reference/main.py:205-217), BCE-with-logits
+    + pos_weight, F1 best-model selection, classification-sign blend
+    updates."""
+    import torch
+    import torch.nn.functional as F
+
+    from mmnn_sts_tpu.constants import IMAGE_DATA_MEAN, IMAGE_DATA_STDDEV
+    from mmnn_sts_tpu.data.loader import EpochBatcher
+
+    imgs, clin, labels = data
+    n = cfg.n_train
+    va = slice(n, n + cfg.n_val)
+
+    torch.manual_seed(0)
+    model = build_torch_twin(cfg.n_clinical)
+    copy_flax_to_torch(variables, model)
+
+    timgs = np.empty_like(imgs)
+    for i in range(imgs.shape[0]):
+        v = imgs[i]
+        mx = v.max()
+        v = (v - IMAGE_DATA_MEAN * mx) / (IMAGE_DATA_STDDEV * mx)
+        mn, mx2 = v.min(), v.max()
+        timgs[i] = (v - mn) / max(mx2 - mn, 1e-12)
+    img_t = torch.tensor(timgs).permute(0, 4, 1, 2, 3)
+    clin_t = torch.tensor(clin)
+    lbl_t = torch.tensor(labels)
+
+    # pos_weight from TRAIN class frequencies (loop.py:381-383)
+    freqs = labels[:n].mean(axis=0)
+    pos_weight = torch.tensor(((1.0 - freqs) / freqs).astype(np.float32))
+
+    opt = torch.optim.SGD(model.parameters(), lr=cfg.lr, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    batcher = EpochBatcher(n, cfg.micro_batch, 1, seed=cfg.seed)
+    steps_per_epoch = batcher.steps_per_epoch()
+    total = max(steps_per_epoch * cfg.epochs, 4)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=cfg.lr, total_steps=total, pct_start=0.3,
+        anneal_strategy="cos", div_factor=25.0, final_div_factor=1e4,
+    )
+
+    weights = np.full(3, 1.0 / 3, dtype=np.float32)
+    lvn = np.zeros(3, np.float32)
+    ltn = np.zeros(3, np.float32)
+    has_history = False
+
+    hist = {"train_loss": [], "val_loss": [], "train_f1": [], "val_f1": [],
+            "blend_weights": [weights.tolist()], "lr": []}
+    best_metric, best_epoch = -1.0, -1
+
+    def head_bce_sum(out_k, y):
+        return F.binary_cross_entropy_with_logits(
+            out_k, y, pos_weight=pos_weight, reduction="sum"
+        )
+
+    for epoch in range(cfg.epochs):
+        idx = batcher.epoch_indices(epoch)  # (S, B)
+        epoch_loss = 0.0
+        epoch_logits = []
+        model.train()
+        w_t = torch.tensor(weights)
+        for step_idx in idx:
+            mb = torch.tensor(np.asarray(step_idx, dtype=np.int64))
+            opt.zero_grad()
+            out = model(img_t[mb], clin_t[mb])  # (3, B, C)
+            head_losses = torch.stack(
+                [head_bce_sum(out[k], lbl_t[mb]) for k in range(3)]
+            )
+            loss = (w_t * head_losses).sum()
+            loss.backward()
+            epoch_loss += float(loss.detach())
+            epoch_logits.append(out.detach().numpy())
+            hist["lr"].append(float(opt.param_groups[0]["lr"]))
+            opt.step()
+            sched.step()
+
+        arr = np.asarray(epoch_logits)  # (S, 3, B, C)
+        flat = arr.transpose(1, 0, 2, 3).reshape(3, -1, arr.shape[-1])[:, :n]
+        flat_order = idx.reshape(-1)[:n]
+        tr_labels = labels[flat_order]
+        hist["train_loss"].append(epoch_loss / n)
+
+        probs = 1.0 / (1.0 + np.exp(-flat[0]))
+        pred = probs > 0.5
+        tps = ((pred == 1) & (tr_labels == 1)).sum(axis=0)
+        fps = ((pred == 1) & (tr_labels == 0)).sum(axis=0)
+        fns = ((pred == 0) & (tr_labels == 1)).sum(axis=0)
+        hist["train_f1"].append(float(np.nanmean(_np_f1_scores(tps, fps, fns))))
+
+        model.eval()
+        with torch.no_grad():
+            vout = model(img_t[va], clin_t[va])  # (3, Nv, C)
+            elementwise = F.binary_cross_entropy_with_logits(
+                vout[0], lbl_t[va], pos_weight=pos_weight, reduction="none"
+            ).numpy()
+            v_head = np.asarray(
+                [float(head_bce_sum(vout[k], lbl_t[va])) for k in range(3)],
+                dtype=np.float32,
+            )
+        hist["val_loss"].append(float(elementwise.sum()) / cfg.n_val)
+        vprobs = 1.0 / (1.0 + np.exp(-vout[0].numpy()))
+        vpred = (vprobs > 0.5).astype(np.float64)
+        vl = labels[va]
+        tp = ((vpred == 1) & (vl == 1)).sum(axis=0)
+        fp = ((vpred == 1) & (vl == 0)).sum(axis=0)
+        fn = ((vpred == 0) & (vl == 1)).sum(axis=0)
+        mean_f1 = float(np.nanmean(_np_f1_scores(tp, fp, fn)))
+        hist["val_f1"].append(mean_f1)
+        if mean_f1 > best_metric:
+            best_metric, best_epoch = mean_f1, epoch + 1
+
+        if (epoch + 1) % cfg.blend_update_interval == 0:
+            import torch as _t
+
+            t_head = np.asarray([
+                float(head_bce_sum(_t.tensor(flat[k]), _t.tensor(tr_labels)))
+                for k in range(3)
+            ], dtype=np.float32)
+            weights, lvn, ltn, has_history = np_blend_update(
+                weights, lvn, ltn, has_history, t_head, v_head,
+                survival=False,
+            )
+            hist["blend_weights"].append(weights.tolist())
+
+    hist["best_epoch"] = best_epoch
+    hist["best_metric"] = float(best_metric)
+    return hist
+
+
+def run_jax_class(cfg: TwinConfig, data, tmp_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from mmnn_sts_tpu.data.loader import build_device_dataset
+    from mmnn_sts_tpu.models.multimodal import MultiModalModel
+    from mmnn_sts_tpu.models.tinycnn import TinyCNN
+    from mmnn_sts_tpu.parallel.mesh import make_mesh
+    from mmnn_sts_tpu.train.loop import LoopConfig, train_classification
+    from mmnn_sts_tpu.train.schedule import make_optimizer
+    from mmnn_sts_tpu.train.state import create_train_state
+
+    imgs, clin, labels = data
+    n = cfg.n_train
+    mesh = make_mesh()
+    train_ds = build_device_dataset(
+        np.arange(n), mesh, image_volumes=imgs[:n], clinical=clin[:n],
+        labels=labels[:n],
+    )
+    val_ds = build_device_dataset(
+        np.arange(cfg.n_val), mesh,
+        image_volumes=imgs[n:n + cfg.n_val], clinical=clin[n:n + cfg.n_val],
+        labels=labels[n:n + cfg.n_val],
+    )
+    image_model = TinyCNN(in_channels=2, out_channels=2, feature_channels=12,
+                          dropout_prob=0.0)
+    model = MultiModalModel(image_model=image_model,
+                            num_clinical_inputs=cfg.n_clinical,
+                            num_classes=2, num_features=12, blend=True,
+                            clinical_dropout_prob=0.0)
+    s = cfg.size
+    sample = {"image": jnp.zeros((2, s, s, s, 2)),
+              "clinical": jnp.zeros((2, cfg.n_clinical))}
+    spe = int(math.ceil(n / cfg.micro_batch))  # accum=1 (loop.py:385)
+    tx = make_optimizer(cfg.lr, spe, cfg.epochs)
+    state = create_train_state(model, tx, sample, seed=0)
+    variables = {"params": jax.device_get(state.params)}
+
+    loop_cfg = LoopConfig(
+        epochs=cfg.epochs, batch_size=cfg.micro_batch,
+        super_batch=cfg.micro_batch, blend=True,
+        blend_update_interval=cfg.blend_update_interval,
+        val_interval=1, seed=cfg.seed, output_dir=tmp_dir, augment=False,
+    )
+    result = train_classification(state, train_ds, val_ds, loop_cfg)
+    hist = {
+        "train_loss": [float(x) for x in result.history["train_loss"]],
+        "val_loss": [float(x) for x in result.history["val_loss"]],
+        "train_f1": [float(x) for x in result.history["train_f1"]],
+        "val_f1": [float(x) for x in result.history["val_f1"]],
+        "best_epoch": int(result.best_epoch),
+        "best_metric": float(result.best_metric),
+    }
+    import os
+
+    blend_csv = os.path.join(tmp_dir, "gblend_weights_history.csv")
+    if os.path.exists(blend_csv):
+        hist["blend_weights"] = np.loadtxt(
+            blend_csv, delimiter=","
+        ).reshape(-1, 3).tolist()
+    return hist, variables
+
+
+def compare_class(cfg: TwinConfig, jax_hist, torch_hist):
+    jt = np.asarray(jax_hist["train_loss"])
+    tt = np.asarray(torch_hist["train_loss"])
+    jv = np.asarray(jax_hist["val_loss"])
+    tv = np.asarray(torch_hist["val_loss"])
+    rel = lambda a, b: float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-6)))
+    out = {
+        "config": dataclasses.asdict(cfg),
+        "task": "classification",
+        "jax": jax_hist,
+        "torch": torch_hist,
+        "first_epoch_train_rel_delta": float(
+            abs(jt[0] - tt[0]) / max(abs(tt[0]), 1e-6)
+        ),
+        "max_train_rel_delta": rel(jt, tt),
+        "max_val_rel_delta": rel(jv, tv),
+        # F1 comes from thresholded predictions: integer counts, so any
+        # disagreement means a sample's logit crossed 0 between frameworks
+        "max_train_f1_delta": float(np.max(np.abs(
+            np.asarray(jax_hist["train_f1"]) - np.asarray(torch_hist["train_f1"])
+        ))),
+        "max_val_f1_delta": float(np.max(np.abs(
+            np.asarray(jax_hist["val_f1"]) - np.asarray(torch_hist["val_f1"])
+        ))),
+        "best_epoch_match": jax_hist["best_epoch"] == torch_hist["best_epoch"],
+        "best_metric_delta": float(
+            abs(jax_hist["best_metric"] - torch_hist["best_metric"])
+        ),
+    }
+    return out
+
+
 def compare(cfg: TwinConfig, jax_hist, torch_hist):
     """Per-epoch deltas + summary verdicts."""
     jt = np.asarray(jax_hist["train_loss"])
@@ -489,8 +755,13 @@ def main():
     ap.add_argument("--ragged", action="store_true",
                     help="n_train -> n_train - 4: measures the wrap-pad "
                          "train-dynamics deviation (PARITY.md)")
-    ap.add_argument("--out", default="PARITY_TWIN.json")
+    ap.add_argument("--task", choices=("survival", "classification"),
+                    default="survival")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("PARITY_TWIN.json" if args.task == "survival"
+                    else "PARITY_TWIN_CLASS.json")
 
     import jax
 
@@ -503,22 +774,33 @@ def main():
                      ragged=args.ragged)
     if cfg.ragged:
         cfg.n_train -= 4
-    data = make_synthetic_cohort(cfg.n_train + cfg.n_val, cfg.size,
-                                 cfg.n_clinical, seed=cfg.seed)
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="parity_twin_")
-    jax_hist, variables = run_jax(cfg, data, tmp)
-    torch_hist = run_torch(cfg, data, variables)
-    out = compare(cfg, jax_hist, torch_hist)
+    if args.task == "classification":
+        data = make_synthetic_class_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                           cfg.n_clinical, seed=cfg.seed)
+        jax_hist, variables = run_jax_class(cfg, data, tmp)
+        torch_hist = run_torch_class(cfg, data, variables)
+        out = compare_class(cfg, jax_hist, torch_hist)
+    else:
+        data = make_synthetic_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                     cfg.n_clinical, seed=cfg.seed)
+        jax_hist, variables = run_jax(cfg, data, tmp)
+        torch_hist = run_torch(cfg, data, variables)
+        out = compare(cfg, jax_hist, torch_hist)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("jax", "torch", "config")}))
     print(json.dumps({"jax_train": out["jax"]["train_loss"],
                       "torch_train": out["torch"]["train_loss"]}))
-    print(json.dumps({"jax_val_c": out["jax"]["val_c"],
-                      "torch_val_c": out["torch"]["val_c"]}))
+    if args.task == "survival":
+        print(json.dumps({"jax_val_c": out["jax"]["val_c"],
+                          "torch_val_c": out["torch"]["val_c"]}))
+    else:
+        print(json.dumps({"jax_val_f1": out["jax"]["val_f1"],
+                          "torch_val_f1": out["torch"]["val_f1"]}))
 
 
 if __name__ == "__main__":

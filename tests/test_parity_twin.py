@@ -24,9 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
 from parity_twin import (  # noqa: E402
     TwinConfig,
     compare,
+    compare_class,
+    make_synthetic_class_cohort,
     make_synthetic_cohort,
     run_jax,
+    run_jax_class,
     run_torch,
+    run_torch_class,
 )
 
 
@@ -72,3 +76,36 @@ def test_blend_weights_agree(twin_result):
     tw = np.asarray(twin_result["torch"]["blend_weights"])
     if jw.size:  # jax history exposes weights only when recorded
         assert np.allclose(jw[-1], tw[-1], atol=0.05)
+
+
+@pytest.fixture(scope="module")
+def class_twin_result(tmp_path_factory):
+    cfg = TwinConfig(n_train=16, n_val=8, size=12, epochs=4, micro_batch=8,
+                     accum=1, blend_update_interval=2, seed=7)
+    data = make_synthetic_class_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                       cfg.n_clinical, seed=cfg.seed)
+    tmp = str(tmp_path_factory.mktemp("class_twin"))
+    jax_hist, variables = run_jax_class(cfg, data, tmp)
+    torch_hist = run_torch_class(cfg, data, variables)
+    return compare_class(cfg, jax_hist, torch_hist)
+
+
+def test_class_first_epoch_loss_matches_tight(class_twin_result):
+    # same init, same batches, same BCE/pos_weight math -> float noise only
+    assert class_twin_result["first_epoch_train_rel_delta"] < 1e-3, \
+        class_twin_result
+
+
+def test_class_trajectories_stay_close(class_twin_result):
+    # semantic drift in the no-accumulation optimizer stepping, pos_weight,
+    # or the classification blend sign produces >>5% divergence quickly
+    assert class_twin_result["max_train_rel_delta"] < 0.05, class_twin_result
+    assert class_twin_result["max_val_rel_delta"] < 0.05, class_twin_result
+
+
+def test_class_selection_agrees(class_twin_result):
+    # F1 is computed from thresholded predictions (integer counts): both
+    # frameworks must make the same calls except for logits within float
+    # noise of the 0.5 boundary
+    assert class_twin_result["max_val_f1_delta"] < 0.15, class_twin_result
+    assert class_twin_result["best_metric_delta"] < 0.15, class_twin_result
