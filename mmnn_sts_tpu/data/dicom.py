@@ -8,7 +8,10 @@ files, sort them into a volume, and apply rescale slope/intercept.
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2)
 and Explicit VR Little Endian (1.2.840.10008.1.2.1) with uncompressed
 8/16-bit pixel data — the common export format for the MRI/DicomRT data the
-reference handles. Compressed syntaxes raise with a clear message.
+reference handles — plus the compressed syntaxes JPEG Lossless process 14
+(data/jpeg_lossless.py), RLE (data/dicom_rle.py), and JPEG-LS lossless /
+near-lossless (data/jpeg_ls.py). Remaining compressed syntaxes raise with
+a clear message.
 
 Slice ordering: by ImagePositionPatient projected on the slice normal when
 available, else InstanceNumber — matching GDCM's series sorting behavior.
@@ -29,7 +32,16 @@ EXPLICIT_LE = "1.2.840.10008.1.2.1"
 # Decoded by data/jpeg_lossless.py (python) or the native fast path.
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
-_COMPRESSED_SYNTAXES = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1}
+# RLE Lossless (PS3.5 Annex G) — decoded by data/dicom_rle.py.
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+# JPEG-LS (ITU-T T.87): .80 = lossless, .81 = near-lossless — the common
+# compressed CT/CR export. Decoded by data/jpeg_ls.py.
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+_COMPRESSED_SYNTAXES = {
+    JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, RLE_LOSSLESS,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR,
+}
 
 # VRs with 4-byte length (explicit VR encoding)
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN", b"UC", b"UR", b"OD", b"OL"}
@@ -52,6 +64,7 @@ class DicomSlice:
     spacing_between_slices: float | None = None  # (0018,0088)
     grid_frame_offsets: tuple | None = None  # (3004,000C), multi-frame z
     pixel_data: bytes = b""
+    transfer_syntax: str = EXPLICIT_LE
     extra: dict = field(default_factory=dict)
 
 
@@ -192,12 +205,13 @@ def read_dicom_file(path: str) -> DicomSlice:
             syntax not in _COMPRESSED_SYNTAXES:
         raise ValueError(
             f"{path}: unsupported transfer syntax {syntax} (supported: "
-            "uncompressed LE and JPEG Lossless process 14; convert other "
-            "compressed exports to one of those or NIfTI)"
+            "uncompressed LE, JPEG Lossless process 14, JPEG-LS, and RLE "
+            "Lossless; convert other compressed exports to one of those "
+            "or NIfTI)"
         )
     explicit = syntax != IMPLICIT_LE  # all encapsulated syntaxes are explicit
 
-    s = DicomSlice()
+    s = DicomSlice(transfer_syntax=syntax)
     for group, element, value in _parse_elements(buf, offset, explicit):
         tag = (group, element)
         if tag == (0x0028, 0x0010):
@@ -259,16 +273,17 @@ def read_dicom_file(path: str) -> DicomSlice:
 
 
 def _decode_fragments(s: DicomSlice) -> np.ndarray:
-    """Decode encapsulated JPEG-Lossless frames -> (frames, rows, cols).
+    """Decode encapsulated compressed frames -> (frames, rows, cols).
 
-    Frame <-> fragment mapping (PS3.5 A.4): single-frame objects may split
-    one frame across many fragments (concatenate); multi-frame objects must
-    start each frame on a fragment boundary — with one fragment per frame
-    when no Basic Offset Table is present, else the BOT gives the byte
-    offset of each frame's first fragment.
+    Dispatches on the transfer syntax: JPEG Lossless process 14
+    (data/jpeg_lossless.py + native fast path) or RLE Lossless
+    (data/dicom_rle.py, which PS3.5 G restricts to one fragment per
+    frame). Frame <-> fragment mapping (PS3.5 A.4): single-frame objects
+    may split one frame across many fragments (concatenate); multi-frame
+    objects must start each frame on a fragment boundary — with one
+    fragment per frame when no Basic Offset Table is present, else the
+    BOT gives the byte offset of each frame's first fragment.
     """
-    from .jpeg_lossless import decode_jpeg_lossless
-
     frames = max(1, s.number_of_frames)
     frags = s.fragments
     if frames == 1:
@@ -292,15 +307,30 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
         for a, b in zip(bounds, bounds[1:]):
             streams.append(b"".join(frags[a:b]))
 
-    from .native import jpeg_lossless_decode_native
+    if s.transfer_syntax == RLE_LOSSLESS:
+        from .dicom_rle import decode_rle_frame
 
-    def decode_one(st: bytes) -> np.ndarray:
-        fast = jpeg_lossless_decode_native(bytes(st), s.rows, s.cols)
-        return fast if fast is not None else decode_jpeg_lossless(st)
+        def decode_one(st: bytes) -> np.ndarray:
+            return decode_rle_frame(bytes(st), s.rows, s.cols,
+                                    s.bits_allocated)
+    elif s.transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
+        from .jpeg_ls import decode_jpeg_ls
+
+        def decode_one(st: bytes) -> np.ndarray:
+            return decode_jpeg_ls(bytes(st))
+    else:
+        from .jpeg_lossless import decode_jpeg_lossless
+        from .native import jpeg_lossless_decode_native
+
+        def decode_one(st: bytes) -> np.ndarray:
+            fast = jpeg_lossless_decode_native(bytes(st), s.rows, s.cols)
+            return fast if fast is not None else decode_jpeg_lossless(st)
 
     decoded = np.stack([decode_one(st) for st in streams])
-    if s.pixel_representation:  # reinterpret the 16-bit words as signed
-        decoded = decoded.view(np.int16)
+    if s.pixel_representation:  # reinterpret the stored words as signed
+        decoded = decoded.view(
+            np.int8 if decoded.dtype == np.uint8 else np.int16
+        )
     return decoded.astype(np.float32)
 
 

@@ -266,6 +266,87 @@ def write_dicom_jpeg_lossless(path, pixel: np.ndarray, instance=1, z=0.0,
         f.write(b"".join(parts))
 
 
+def write_dicom_rle(path, pixel: np.ndarray, instance=1, z=0.0,
+                    signed=False, frames=None, bits=16, pixel_spacing=None):
+    """An RLE Lossless (1.2.840.10008.1.2.5) .dcm file with encapsulated
+    pixel data — one fragment per frame, as PS3.5 Annex G requires.
+    pixel: (rows, cols) single frame, or (frames, rows, cols) multi-frame
+    when `frames` is truthy."""
+    from mmnn_sts_tpu.data.dicom import RLE_LOSSLESS
+    from mmnn_sts_tpu.data.dicom_rle import encode_rle_frame
+
+    el = dicom_el_explicit
+    parts = [dicom_meta(RLE_LOSSLESS)]
+    if frames:
+        nframes, rows, cols = pixel.shape
+        parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))
+        streams = [encode_rle_frame(pixel[k], bits) for k in range(nframes)]
+    else:
+        rows, cols = pixel.shape
+        streams = [encode_rle_frame(pixel, bits)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", bits)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+    parts.append(struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF))
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, 0))  # empty BOT
+    for st in streams:
+        st += b"\x00" if len(st) % 2 else b""
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(st)) + st)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
+def write_dicom_jpeg_ls(path, pixel: np.ndarray, instance=1, z=0.0,
+                        signed=False, frames=None, bits=16, near=0,
+                        pixel_spacing=None):
+    """A JPEG-LS (1.2.840.10008.1.2.4.80/.81) .dcm file with encapsulated
+    pixel data — one fragment per frame. near>0 selects the near-lossless
+    transfer syntax UID."""
+    from mmnn_sts_tpu.data.dicom import JPEG_LS_LOSSLESS, JPEG_LS_NEAR
+    from mmnn_sts_tpu.data.jpeg_ls import encode_jpeg_ls
+
+    el = dicom_el_explicit
+    parts = [dicom_meta(JPEG_LS_NEAR if near else JPEG_LS_LOSSLESS)]
+    if frames:
+        nframes, rows, cols = pixel.shape
+        parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))
+        streams = [encode_jpeg_ls(pixel[k], bits, near=near)
+                   for k in range(nframes)]
+    else:
+        rows, cols = pixel.shape
+        streams = [encode_jpeg_ls(pixel, bits, near=near)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", bits)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+    parts.append(struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF))
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, 0))  # empty BOT
+    for st in streams:
+        st += b"\x00" if len(st) % 2 else b""
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(st)) + st)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
 def make_dicom_tree(root: str, anon_ids, shape=(12, 14, 12), seed: int = 0):
     """Per-patient DICOM layout (S3DicomDataset's expected structure,
     /root/reference/data/ImageDatasets.py:101-126): <anon>/image/*.dcm
