@@ -9,9 +9,11 @@ Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2)
 and Explicit VR Little Endian (1.2.840.10008.1.2.1) with uncompressed
 8/16-bit pixel data — the common export format for the MRI/DicomRT data the
 reference handles — plus the compressed syntaxes JPEG Lossless process 14
-(data/jpeg_lossless.py), RLE (data/dicom_rle.py), and JPEG-LS lossless /
-near-lossless (data/jpeg_ls.py). Remaining compressed syntaxes raise with
-a clear message.
+(data/jpeg_lossless.py), RLE (data/dicom_rle.py), JPEG-LS lossless /
+near-lossless (data/jpeg_ls.py), and JPEG 2000 (data/jpeg2000.py; lossless
+always, .91 raises only when actually irreversible). With these, every
+lossless syntax GDCM gave the reference decodes natively; lossy JPEG
+exports raise with a clear conversion message.
 
 Slice ordering: by ImagePositionPatient projected on the slice normal when
 available, else InstanceNumber — matching GDCM's series sorting behavior.
@@ -38,9 +40,14 @@ RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 # compressed CT/CR export. Decoded by data/jpeg_ls.py.
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+# JPEG 2000 (ITU-T T.800): .90 = reversible-only (lossless), .91 = may be
+# lossy. Decoded by data/jpeg2000.py; irreversible .91 streams raise there
+# with a conversion hint.
+J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
+J2K = "1.2.840.10008.1.2.4.91"
 _COMPRESSED_SYNTAXES = {
     JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, RLE_LOSSLESS,
-    JPEG_LS_LOSSLESS, JPEG_LS_NEAR,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR, J2K_LOSSLESS, J2K,
 }
 
 # VRs with 4-byte length (explicit VR encoding)
@@ -205,9 +212,9 @@ def read_dicom_file(path: str) -> DicomSlice:
             syntax not in _COMPRESSED_SYNTAXES:
         raise ValueError(
             f"{path}: unsupported transfer syntax {syntax} (supported: "
-            "uncompressed LE, JPEG Lossless process 14, JPEG-LS, and RLE "
-            "Lossless; convert other compressed exports to one of those "
-            "or NIfTI)"
+            "uncompressed LE, JPEG Lossless process 14, JPEG-LS, JPEG 2000, "
+            "and RLE Lossless; convert other compressed exports to one of "
+            "those or NIfTI)"
         )
     explicit = syntax != IMPLICIT_LE  # all encapsulated syntaxes are explicit
 
@@ -276,9 +283,10 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
     """Decode encapsulated compressed frames -> (frames, rows, cols).
 
     Dispatches on the transfer syntax: JPEG Lossless process 14
-    (data/jpeg_lossless.py + native fast path) or RLE Lossless
+    (data/jpeg_lossless.py + native fast path), RLE Lossless
     (data/dicom_rle.py, which PS3.5 G restricts to one fragment per
-    frame). Frame <-> fragment mapping (PS3.5 A.4): single-frame objects
+    frame), JPEG-LS (data/jpeg_ls.py + native fast path), or JPEG 2000
+    (data/jpeg2000.py). Frame <-> fragment mapping (PS3.5 A.4): single-frame objects
     may split one frame across many fragments (concatenate); multi-frame
     objects must start each frame on a fragment boundary — with one
     fragment per frame when no Basic Offset Table is present, else the
@@ -315,9 +323,26 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
                                     s.bits_allocated)
     elif s.transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
         from .jpeg_ls import decode_jpeg_ls
+        from .native import jpeg_ls_decode_native
 
         def decode_one(st: bytes) -> np.ndarray:
-            return decode_jpeg_ls(bytes(st))
+            fast = jpeg_ls_decode_native(bytes(st), s.rows, s.cols)
+            return fast if fast is not None else decode_jpeg_ls(bytes(st))
+    elif s.transfer_syntax in (J2K_LOSSLESS, J2K):
+        from .jpeg2000 import decode_j2k
+        from .native import j2k_decode_native
+
+        def decode_one(st: bytes) -> np.ndarray:
+            vals = j2k_decode_native(bytes(st), s.rows, s.cols)
+            if vals is None:
+                vals = decode_j2k(bytes(st))
+                if vals.shape != (s.rows, s.cols):
+                    raise ValueError(
+                        f"JPEG 2000 frame is {vals.shape[0]}x"
+                        f"{vals.shape[1]}, DICOM says {s.rows}x{s.cols}"
+                    )
+            dt = np.uint8 if s.bits_allocated == 8 else np.uint16
+            return (vals & ((1 << s.bits_allocated) - 1)).astype(dt)
     else:
         from .jpeg_lossless import decode_jpeg_lossless
         from .native import jpeg_lossless_decode_native

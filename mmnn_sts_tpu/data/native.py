@@ -81,6 +81,26 @@ def _load():
                     ctypes.POINTER(ctypes.c_int),
                 ]
                 lib.mmnn_jpeg_lossless_decode.restype = ctypes.c_int
+            if hasattr(lib, "mmnn_j2k_decode"):
+                lib.mmnn_j2k_decode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.mmnn_j2k_decode.restype = ctypes.c_int
+            if hasattr(lib, "mmnn_jpeg_ls_decode"):
+                lib.mmnn_jpeg_ls_decode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.mmnn_jpeg_ls_decode.restype = ctypes.c_int
             _LIB = lib
             break
     return _LIB
@@ -161,6 +181,61 @@ def jpeg_lossless_decode_native(blob: bytes, rows: int,
     if (r.value, c.value) != (rows, cols):
         raise ValueError(
             f"JPEG frame is {r.value}x{c.value}, DICOM says {rows}x{cols}"
+        )
+    return out.reshape(rows, cols)
+
+
+def jpeg_ls_decode_native(blob: bytes, rows: int,
+                          cols: int) -> np.ndarray | None:
+    """Decode one JPEG-LS (T.87) frame via C++; None when the library is
+    unavailable or the stream needs the python path (data/jpeg_ls.py), which
+    also owns the precise error messages for malformed streams. rows/cols
+    are the expected DICOM dimensions; the stream's own SOF55 header is
+    authoritative and checked against them."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mmnn_jpeg_ls_decode"):
+        return None
+    out = np.empty(rows * cols, dtype=np.uint16)
+    r = ctypes.c_int(0)
+    c = ctypes.c_int(0)
+    rc = lib.mmnn_jpeg_ls_decode(
+        blob, len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size, ctypes.byref(r), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    if (r.value, c.value) != (rows, cols):
+        raise ValueError(
+            f"JPEG-LS frame is {r.value}x{c.value}, DICOM says {rows}x{cols}"
+        )
+    return out.reshape(rows, cols)
+
+
+def j2k_decode_native(blob: bytes, rows: int, cols: int) -> np.ndarray | None:
+    """Decode one JPEG 2000 frame via C++ (~150x the python codec); None
+    when the library is unavailable or the stream needs the python path
+    (data/jpeg2000.py), which also owns the precise error messages.
+    rows/cols are the expected DICOM dimensions; the stream's own SIZ
+    header is authoritative and checked against them. Returns int32 sample
+    values (negative iff the stream is signed)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mmnn_j2k_decode"):
+        return None
+    out = np.empty(rows * cols, dtype=np.int32)
+    r = ctypes.c_int(0)
+    c = ctypes.c_int(0)
+    rc = lib.mmnn_j2k_decode(
+        blob, len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.size, ctypes.byref(r), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    if (r.value, c.value) != (rows, cols):
+        raise ValueError(
+            f"JPEG 2000 frame is {r.value}x{c.value}, DICOM says "
+            f"{rows}x{cols}"
         )
     return out.reshape(rows, cols)
 

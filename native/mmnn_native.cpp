@@ -565,9 +565,1173 @@ int DecodeJpegLossless(const uint8_t* buf, int64_t len, uint16_t* out,
   return 19;  // no SOS
 }
 
+// ---------------------------------------------------------------------------
+// JPEG-LS (ITU-T T.87 / ISO 14495-1, LOCO-I) — fast path for compressed DICOM
+// transfer syntaxes 1.2.840.10008.1.2.4.80/.81. Mirror of the python oracle
+// in mmnn_sts_tpu/data/jpeg_ls.py (tested against it); written from the
+// public T.87 spec, no CharLS/GDCM code. Any nonzero return sends the caller
+// to the python path, which owns the precise error messages.
+// ---------------------------------------------------------------------------
+
+// T.87 A.2.1 run-length code order
+constexpr int kJlsJ[32] = {0, 0, 0, 0, 1, 1, 1,  1,  2,  2,  2,  2,  3,  3,  3, 3,
+                           4, 4, 5, 5, 6, 6, 7,  7,  8,  9,  10, 11, 12, 13, 14, 15};
+
+struct JlsBitReader {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t pos;
+  uint64_t cur = 0;
+  int nbits = 0;
+  bool prev_ff = false;
+
+  void Fill() {
+    // Marker-proof stuffing (T.87 A.1): a byte following 0xFF carries only
+    // 7 data bits; if its MSB is set it is a real marker -> pad with zeros.
+    while (nbits <= 40) {
+      if (pos >= len) {
+        cur <<= 8;
+        nbits += 8;
+        continue;
+      }
+      uint8_t b = buf[pos];
+      if (prev_ff) {
+        if (b & 0x80) {  // real marker: stop consuming
+          cur <<= 8;
+          nbits += 8;
+          continue;
+        }
+        pos += 1;
+        prev_ff = false;
+        cur = (cur << 7) | b;
+        nbits += 7;
+      } else {
+        pos += 1;
+        prev_ff = (b == 0xFF);
+        cur = (cur << 8) | b;
+        nbits += 8;
+      }
+    }
+  }
+
+  inline int ReadBit() {
+    if (nbits < 1) Fill();
+    nbits -= 1;
+    return static_cast<int>((cur >> nbits) & 1);
+  }
+
+  inline uint32_t ReadBits(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (nbits < 1) Fill();
+      int take = n < nbits ? n : nbits;
+      nbits -= take;
+      v = (v << take) |
+          static_cast<uint32_t>((cur >> nbits) & ((1ull << take) - 1));
+      n -= take;
+    }
+    return v;
+  }
+
+  inline int Unary(bool* ok) {
+    int u = 0;
+    while (ReadBit() == 0) {
+      if (++u > (1 << 20)) {  // runaway unary: corrupt stream
+        *ok = false;
+        return 0;
+      }
+    }
+    return u;
+  }
+};
+
+struct JlsParams {
+  int near, maxval, range, qbpp, bpp, limit, reset, t1, t2, t3;
+};
+
+inline int JlsBitLength(int v) {
+  int n = 0;
+  while (v > 0) {
+    ++n;
+    v >>= 1;
+  }
+  return n;
+}
+
+// Derived coding parameters (T.87 A.2.1 / C.2.4.1.1); LSE values of 0 mean
+// "use the default", matching jpeg_ls._Params.
+void JlsInitParams(JlsParams* p, int precision, int near, int maxval_in,
+                   int t1_in, int t2_in, int t3_in, int reset_in) {
+  p->near = near;
+  p->maxval = maxval_in > 0 ? maxval_in : (1 << precision) - 1;
+  p->range = (p->maxval + 2 * near) / (2 * near + 1) + 1;
+  p->qbpp = std::max(1, JlsBitLength(p->range - 1));
+  p->bpp = std::max(2, JlsBitLength(p->maxval));
+  p->limit = 2 * (p->bpp + std::max(8, p->bpp));
+  p->reset = reset_in > 0 ? reset_in : 64;
+  int mv = p->maxval, nn = near, d1, d2, d3;
+  if (mv >= 128) {
+    int factor = (std::min(mv, 4095) + 128) / 256;
+    d1 = factor * (3 - 2) + 2 + 3 * nn;
+    d2 = factor * (7 - 3) + 3 + 5 * nn;
+    d3 = factor * (21 - 4) + 4 + 7 * nn;
+  } else {
+    int factor = 256 / (mv + 1);
+    d1 = std::max(2, 3 / factor + 3 * nn);
+    d2 = std::max(3, 7 / factor + 5 * nn);
+    d3 = std::max(4, 21 / factor + 7 * nn);
+  }
+  p->t1 = t1_in > 0 ? t1_in : std::max(nn + 1, std::min(d1, mv));
+  p->t2 = t2_in > 0 ? t2_in : std::max(p->t1, std::min(d2, mv));
+  p->t3 = t3_in > 0 ? t3_in : std::max(p->t2, std::min(d3, mv));
+}
+
+// Adaptive context state: 365 regular + 2 run-interruption contexts. int64
+// because a preset RESET up to 65535 lets A/B exceed 32 bits.
+struct JlsState {
+  int64_t A[367], B[365], N[367], Nn[2];
+  int32_t C[365];
+  int run_index = 0;
+
+  void Init(const JlsParams& p) {
+    int64_t init_a = std::max<int64_t>(2, (p.range + 32) / 64);
+    for (int i = 0; i < 367; ++i) {
+      A[i] = init_a;
+      N[i] = 1;
+    }
+    for (int i = 0; i < 365; ++i) {
+      B[i] = 0;
+      C[i] = 0;
+    }
+    Nn[0] = Nn[1] = 0;
+  }
+};
+
+// T.87 A.3.3 gradient quantization to [-4, 4].
+inline int JlsQuantize(int d, const JlsParams& p) {
+  if (d <= -p.t3) return -4;
+  if (d <= -p.t2) return -3;
+  if (d <= -p.t1) return -2;
+  if (d < -p.near) return -1;
+  if (d <= p.near) return 0;
+  if (d < p.t1) return 1;
+  if (d < p.t2) return 2;
+  if (d < p.t3) return 3;
+  return 4;
+}
+
+// Median edge-detecting predictor (A.4.2).
+inline int JlsPredict(int ra, int rb, int rc) {
+  int mx = std::max(ra, rb), mn = std::min(ra, rb);
+  if (rc >= mx) return mn;
+  if (rc <= mn) return mx;
+  return ra + rb - rc;
+}
+
+inline int JlsGolombK(int64_t n, int64_t a) {
+  int k = 0;
+  while ((n << k) < a) ++k;
+  return k;
+}
+
+// A.6: variable update + bias computation after a regular-mode sample.
+// (>> on negative int64 is an arithmetic shift, matching python's halving.)
+inline void JlsUpdateRegular(JlsState* st, const JlsParams& p, int q,
+                             int errval) {
+  st->B[q] += static_cast<int64_t>(errval) * (2 * p.near + 1);
+  st->A[q] += std::abs(errval);
+  if (st->N[q] == p.reset) {
+    st->A[q] >>= 1;
+    st->B[q] >>= 1;
+    st->N[q] >>= 1;
+  }
+  st->N[q] += 1;
+  if (st->B[q] <= -st->N[q]) {
+    st->B[q] += st->N[q];
+    if (st->C[q] > -128) st->C[q] -= 1;
+    if (st->B[q] <= -st->N[q]) st->B[q] = -st->N[q] + 1;
+  } else if (st->B[q] > 0) {
+    st->B[q] -= st->N[q];
+    if (st->C[q] < 127) st->C[q] += 1;
+    if (st->B[q] > 0) st->B[q] = 0;
+  }
+}
+
+// A.7.2.2: Golomb parameter for a run-interruption sample.
+inline int JlsRiK(const JlsState& st, int ritype) {
+  int q = 365 + ritype;
+  int64_t temp = st.A[q] + (ritype ? (st.N[q] >> 1) : 0);
+  return JlsGolombK(st.N[q], temp);
+}
+
+// A.7.2.4: run-interruption state update (+ run index decrement).
+inline void JlsRiUpdate(JlsState* st, const JlsParams& p, int ritype,
+                        int errval, int emerrval) {
+  int q = 365 + ritype;
+  if (errval < 0) st->Nn[ritype] += 1;
+  st->A[q] += (emerrval + 1 - ritype) >> 1;
+  if (st->N[q] == p.reset) {
+    st->A[q] >>= 1;
+    st->N[q] >>= 1;
+    st->Nn[ritype] >>= 1;
+  }
+  st->N[q] += 1;
+  if (st->run_index > 0) st->run_index -= 1;
+}
+
+// A.4.5 / A.7.2.1 reconstruction wrap + clamp to [0, MAXVAL].
+inline int JlsClamp(int rx, const JlsParams& p) {
+  int span = p.range * (2 * p.near + 1);
+  if (rx < -p.near) {
+    rx += span;
+  } else if (rx > p.maxval + p.near) {
+    rx -= span;
+  }
+  return std::min(std::max(rx, 0), p.maxval);
+}
+
+inline int JlsGolombDecode(JlsBitReader* r, int k, int limit, int qbpp,
+                           bool* ok) {
+  int u = r->Unary(ok);
+  if (!*ok) return 0;
+  if (u < limit - qbpp - 1) return (u << k) | static_cast<int>(r->ReadBits(k));
+  return static_cast<int>(r->ReadBits(qbpp)) + 1;
+}
+
+// Run mode (A.7): fill with RUNval, then decode the interruption sample.
+// Returns the new column; sets *ok=false on a corrupt stream.
+int JlsDecodeRun(JlsBitReader* r, JlsState* st, const JlsParams& p,
+                 int32_t* cur, const int32_t* prev, int col, int cols,
+                 bool* ok) {
+  int runval = cur[col];
+  int avail = cols - col;
+  while (r->ReadBit() == 1) {
+    int seg = 1 << kJlsJ[st->run_index];
+    int cnt = std::min(seg, avail);
+    for (int i = 0; i < cnt; ++i) cur[col + 1 + i] = runval;
+    col += cnt;
+    avail -= cnt;
+    if (cnt == seg && st->run_index < 31) st->run_index += 1;
+    if (avail == 0) return col;  // run reached end of line: no interruption
+  }
+  if (kJlsJ[st->run_index] > 0) {
+    int rem = static_cast<int>(r->ReadBits(kJlsJ[st->run_index]));
+    if (rem >= avail) {  // remainder overruns the line: corrupt
+      *ok = false;
+      return col;
+    }
+    for (int i = 0; i < rem; ++i) cur[col + 1 + i] = runval;
+    col += rem;
+    avail -= rem;
+  }
+  if (avail <= 0) {
+    *ok = false;
+    return col;
+  }
+
+  // run-interruption sample (A.7.2)
+  int ra = cur[col], rb = prev[col + 1];
+  int ritype = (std::abs(ra - rb) <= p.near) ? 1 : 0;
+  int px = ritype ? ra : rb;
+  int sign = (!ritype && ra > rb) ? -1 : 1;
+  int q = 365 + ritype;
+  int k = JlsRiK(*st, ritype);
+  int emerr =
+      JlsGolombDecode(r, k, p.limit - kJlsJ[st->run_index] - 1, p.qbpp, ok);
+  if (!*ok) return col;
+  int temp = emerr + ritype;
+  int mapbit = temp & 1;
+  int errvalabs = (temp + mapbit) / 2;
+  int cond = (k != 0 || 2 * st->Nn[ritype] >= st->N[q]) ? 1 : 0;
+  int errval = (cond == mapbit) ? -errvalabs : errvalabs;
+  JlsRiUpdate(st, p, ritype, errval, emerr);
+  int rx = px + sign * errval * (2 * p.near + 1);
+  cur[col + 1] = JlsClamp(rx, p);
+  return col + 1;
+}
+
+// Decodes one single-component ILV-0 JPEG-LS stream. Returns 0 on success;
+// fills rows/cols; writes up to out_capacity uint16 samples into out.
+int DecodeJpegLs(const uint8_t* buf, int64_t len, uint16_t* out,
+                 int64_t out_capacity, int* rows_out, int* cols_out) {
+  if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return 30;  // no SOI
+  int64_t pos = 2;
+  int precision = -1, rows = 0, cols = 0;
+  int lse_maxval = 0, lse_t1 = 0, lse_t2 = 0, lse_t3 = 0, lse_reset = 0;
+  int near = 0;
+  bool have_sos = false;
+  while (pos + 4 <= len) {
+    if (buf[pos] != 0xFF) return 31;
+    uint8_t code = buf[pos + 1];
+    int seglen = (buf[pos + 2] << 8) | buf[pos + 3];
+    if (pos + 2 + seglen > len) return 32;  // truncated segment
+    const uint8_t* seg = buf + pos + 4;
+    int n = seglen - 2;
+    if (code == 0xDA) {  // SOS
+      if (precision < 0) return 33;  // SOS before SOF55
+      if (n < 6) return 34;
+      int ns = seg[0];
+      if (ns != 1) return 35;  // multi-component scan
+      near = seg[1 + 2 * ns];
+      if (seg[2 + 2 * ns] != 0) return 36;  // ILV != 0
+      pos += 2 + seglen;
+      have_sos = true;
+      break;
+    }
+    if (code == 0xF7) {  // SOF55 frame header
+      if (n < 6) return 34;
+      precision = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return 35;  // multi-component frame
+      if (rows == 0) return 37;    // DNL deferred height
+    } else if (code == 0xF8) {  // LSE preset parameters
+      if (n >= 1 && seg[0] == 1) {
+        if (n < 11) return 34;
+        lse_maxval = (seg[1] << 8) | seg[2];
+        lse_t1 = (seg[3] << 8) | seg[4];
+        lse_t2 = (seg[5] << 8) | seg[6];
+        lse_t3 = (seg[7] << 8) | seg[8];
+        lse_reset = (seg[9] << 8) | seg[10];
+      }  // other LSE ids (mapping tables, extensions) are skippable
+    } else if (code == 0xDD) {  // DRI
+      if (n >= 2 && (((seg[0] << 8) | seg[1]) != 0)) return 38;  // restarts
+    } else if (code == 0xFE || (code >= 0xE0 && code <= 0xEF)) {
+      // COM / APPn: skip
+    } else {
+      return 39;  // unexpected marker
+    }
+    pos += 2 + seglen;
+  }
+  if (!have_sos) return 40;
+  if (static_cast<int64_t>(rows) * cols > out_capacity) return 41;
+  if (rows <= 0 || cols <= 0) return 42;
+
+  JlsParams p;
+  JlsInitParams(&p, precision, near, lse_maxval, lse_t1, lse_t2, lse_t3,
+                lse_reset);
+  JlsState st;
+  st.Init(p);
+  JlsBitReader r{buf, len, pos};
+  std::vector<int32_t> prev(cols + 2, 0), cur(cols + 2, 0);
+  bool ok = true;
+  for (int row = 0; row < rows; ++row) {
+    std::fill(cur.begin(), cur.end(), 0);
+    cur[0] = prev[1];  // Ra of col 0 = Rb
+    prev[cols + 1] = prev[cols];  // Rd of last col = its Rb
+    int col = 0;
+    while (col < cols) {
+      int ra = cur[col], rb = prev[col + 1];
+      int rc = prev[col], rd = prev[col + 2];
+      int q1 = JlsQuantize(rd - rb, p);
+      int q2 = JlsQuantize(rb - rc, p);
+      int q3 = JlsQuantize(rc - ra, p);
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        col = JlsDecodeRun(&r, &st, p, cur.data(), prev.data(), col, cols,
+                           &ok);
+        if (!ok) return 43;
+        continue;
+      }
+      int q = q1 * 81 + q2 * 9 + q3;
+      int sign = 1;
+      if (q < 0) {
+        sign = -1;
+        q = -q;
+      }
+      int px = JlsPredict(ra, rb, rc) + sign * st.C[q];
+      px = std::min(std::max(px, 0), p.maxval);
+      int k = JlsGolombK(st.N[q], st.A[q]);
+      int merr = JlsGolombDecode(&r, k, p.limit, p.qbpp, &ok);
+      if (!ok) return 43;
+      int errval;
+      if (p.near == 0 && k == 0 && 2 * st.B[q] <= -st.N[q]) {
+        errval = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
+      } else {
+        errval = (merr & 1) ? -((merr + 1) / 2) : merr / 2;
+      }
+      JlsUpdateRegular(&st, p, q, errval);
+      int rx = px + sign * errval * (2 * p.near + 1);
+      cur[col + 1] = JlsClamp(rx, p);
+      col += 1;
+    }
+    uint16_t* orow = out + static_cast<int64_t>(row) * cols;
+    for (int c = 0; c < cols; ++c) orow[c] = static_cast<uint16_t>(cur[c + 1]);
+    std::swap(prev, cur);
+  }
+  *rows_out = rows;
+  *cols_out = cols;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 Part 1 (ITU-T T.800) lossless decode — fast path for compressed
+// DICOM transfer syntaxes 1.2.840.10008.1.2.4.90/.91. Mirror of the python
+// oracle in mmnn_sts_tpu/data/jpeg2000.py (tested against it); written from
+// the public T.800 spec, no OpenJPEG/Kakadu/GDCM code. Same scope as the
+// python decoder (single component/tile, 5/3 reversible, default precincts,
+// code-block style 0); any nonzero return sends the caller to python.
+// ---------------------------------------------------------------------------
+
+// (Qe, NMPS, NLPS, SWITCH) — T.800 Table C.2
+struct MqState { uint16_t qe; uint8_t nmps, nlps, sw; };
+constexpr MqState kMqTable[47] = {
+    {0x5601, 1, 1, 1},   {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0},  {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},   {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0}, {0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0}, {0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0}, {0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0}, {0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0}, {0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0}, {0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0}, {0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0}, {0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0}, {0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0}, {0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0}, {0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0}, {0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0}, {0x5601, 46, 46, 0},
+};
+constexpr int kCtxRl = 17, kCtxUni = 18;
+
+struct MqDec {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t bp = 0;
+  uint32_t c = 0, a = 0;
+  int ct = 0;
+  uint8_t idx[19];
+  uint8_t mps[19];
+
+  void Init(const uint8_t* b, int64_t n) {
+    buf = b;
+    len = n;
+    bp = 0;
+    std::memset(idx, 0, sizeof(idx));
+    std::memset(mps, 0, sizeof(mps));
+    idx[0] = 4;       // all-zero-neighbor significance context (Table D.7)
+    idx[kCtxRl] = 3;
+    idx[kCtxUni] = 46;
+    c = (n ? buf[0] : 0xFF) << 16;
+    ByteIn();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+  }
+
+  void ByteIn() {
+    uint8_t b = bp < len ? buf[bp] : 0xFF;
+    if (b == 0xFF) {
+      uint8_t b1 = bp + 1 < len ? buf[bp + 1] : 0xFF;
+      if (b1 > 0x8F) {
+        c += 0xFF00;
+        ct = 8;
+      } else {
+        bp += 1;
+        c += b1 << 9;
+        ct = 7;
+      }
+    } else {
+      bp += 1;
+      uint8_t b1 = bp < len ? buf[bp] : 0xFF;
+      c += b1 << 8;
+      ct = 8;
+    }
+  }
+
+  int Decode(int cx) {
+    const MqState& st = kMqTable[idx[cx]];
+    uint32_t qe = st.qe;
+    int d;
+    a -= qe;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) {  // LPS exchange (C.3.4)
+        d = mps[cx];
+        idx[cx] = st.nmps;
+      } else {
+        d = 1 - mps[cx];
+        if (st.sw) mps[cx] = 1 - mps[cx];
+        idx[cx] = st.nlps;
+      }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return mps[cx];
+      if (a < qe) {  // MPS exchange (C.3.3)
+        d = 1 - mps[cx];
+        if (st.sw) mps[cx] = 1 - mps[cx];
+        idx[cx] = st.nlps;
+      } else {
+        d = mps[cx];
+        idx[cx] = st.nmps;
+      }
+    }
+    do {  // RENORMD
+      if (ct == 0) ByteIn();
+      a = (a << 1) & 0xFFFF;
+      c <<= 1;
+      ct -= 1;
+    } while (!(a & 0x8000));
+    return d;
+  }
+};
+
+// Packet-header bit reader with 0xFF stuffing (B.10.1).
+struct J2kHdrReader {
+  const uint8_t* buf;
+  int64_t len, pos;
+  uint8_t cur = 0, prev = 0;
+  int ct = 0;
+  bool bad = false;
+
+  int ReadBit() {
+    if (ct == 0) {
+      if (pos >= len) {
+        bad = true;
+        return 0;
+      }
+      cur = buf[pos++];
+      ct = prev == 0xFF ? 7 : 8;
+      prev = cur;
+    }
+    ct -= 1;
+    return (cur >> ct) & 1;
+  }
+
+  uint32_t ReadBits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | ReadBit();
+    return v;
+  }
+
+  void Align() {
+    ct = 0;
+    if (prev == 0xFF) {
+      if (pos >= len) {
+        bad = true;
+        return;
+      }
+      pos += 1;  // consume the stuffed pad byte
+    }
+    prev = 0;
+  }
+};
+
+// Tag tree (B.10.2), decoder side.
+struct J2kTagTree {
+  struct Lvl { int w, h; std::vector<int32_t> value, low; };
+  std::vector<Lvl> lv;
+
+  void Init(int w, int h) {
+    lv.clear();
+    for (;;) {
+      Lvl l;
+      l.w = w;
+      l.h = h;
+      l.value.assign((size_t)w * h, INT32_MAX);
+      l.low.assign((size_t)w * h, 0);
+      lv.push_back(std::move(l));
+      if (w == 1 && h == 1) break;
+      w = (w + 1) / 2;
+      h = (h + 1) / 2;
+    }
+  }
+
+  bool Decode(J2kHdrReader* r, int x, int y, int threshold) {
+    int low = 0, v = INT32_MAX;
+    for (int lev = (int)lv.size() - 1; lev >= 0; --lev) {
+      Lvl& L = lv[lev];
+      size_t i = (size_t)(y >> lev) * L.w + (x >> lev);
+      if (low > L.low[i]) L.low[i] = low;
+      else low = L.low[i];
+      v = L.value[i];
+      while (low < threshold && low < v) {
+        if (r->ReadBit()) {
+          v = low;
+          L.value[i] = low;
+        } else {
+          ++low;
+        }
+      }
+      L.low[i] = low;
+    }
+    return v < threshold;
+  }
+
+  int32_t Leaf(int x, int y) const { return lv[0].value[(size_t)y * lv[0].w + x]; }
+};
+
+// Significance-coding context (Table D.1); band: 0=LL/LH table, 1=HL, 2=HH.
+inline int J2kSigCtx(const uint8_t* sig, int stride, int x, int y, int band) {
+  const uint8_t* p = sig + (size_t)y * stride + x;
+  int h = p[-1] + p[1];
+  int v = p[-stride] + p[stride];
+  int d = p[-stride - 1] + p[-stride + 1] + p[stride - 1] + p[stride + 1];
+  if (band == 1) std::swap(h, v);
+  if (band != 2) {
+    if (h == 2) return 8;
+    if (h == 1) return v >= 1 ? 7 : (d >= 1 ? 6 : 5);
+    if (v == 2) return 4;
+    if (v == 1) return 3;
+    return d >= 2 ? 2 : (d == 1 ? 1 : 0);
+  }
+  int hv = h + v;
+  if (d >= 3) return 8;
+  if (d == 2) return hv >= 1 ? 7 : 6;
+  if (d == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+  return hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
+}
+
+// Sign-coding context + xor bit (Tables D.2/D.3); sgn holds +1/-1/0.
+inline void J2kSignCtx(const int8_t* sgn, int stride, int x, int y,
+                       int* ctx, int* xorbit) {
+  const int8_t* p = sgn + (size_t)y * stride + x;
+  int h = p[-1] + p[1];
+  int v = p[-stride] + p[stride];
+  h = h > 1 ? 1 : (h < -1 ? -1 : h);
+  v = v > 1 ? 1 : (v < -1 ? -1 : v);
+  if (h == 1) {
+    *ctx = v == 1 ? 13 : (v == 0 ? 12 : 11);
+    *xorbit = 0;
+  } else if (h == 0) {
+    if (v == 1) { *ctx = 10; *xorbit = 0; }
+    else if (v == 0) { *ctx = 9; *xorbit = 0; }
+    else { *ctx = 10; *xorbit = 1; }
+  } else {
+    *ctx = v == 1 ? 11 : (v == 0 ? 12 : 13);
+    *xorbit = 1;
+  }
+}
+
+// T1 decode of one code block (Annex D): w x h coefficients, band table id,
+// starting bitplane msb, `numpasses` coding passes. out: signed coeffs.
+int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
+                int msb, int numpasses, int32_t* out) {
+  if (msb < 0 || msb > 30) return 61;
+  int stride = w + 2;
+  std::vector<uint8_t> sigv((size_t)stride * (h + 2), 0);
+  std::vector<int8_t> sgnv((size_t)stride * (h + 2), 0);
+  std::vector<uint8_t> refv((size_t)w * h, 0);
+  std::vector<uint8_t> visv((size_t)w * h, 0);
+  std::vector<int32_t> mag((size_t)w * h, 0);
+  std::vector<uint8_t> sbit((size_t)w * h, 0);
+  uint8_t* sig = sigv.data();
+  int8_t* sgn = sgnv.data();
+  MqDec mq;
+  mq.Init(data, dlen);
+
+  auto code_sign = [&](int x, int y) {
+    int ctx, xorbit;
+    J2kSignCtx(sgn, stride, x + 1, y + 1, &ctx, &xorbit);
+    int s = mq.Decode(ctx) ^ xorbit;
+    sbit[(size_t)y * w + x] = (uint8_t)s;
+    sig[(size_t)(y + 1) * stride + x + 1] = 1;
+    sgn[(size_t)(y + 1) * stride + x + 1] = s ? -1 : 1;
+  };
+
+  auto pass_spp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ymax = std::min(y0 + 4, h);
+      for (int x = 0; x < w; ++x) {
+        for (int y = y0; y < ymax; ++y) {
+          if (sig[(size_t)(y + 1) * stride + x + 1]) continue;
+          int ctx = J2kSigCtx(sig, stride, x + 1, y + 1, band);
+          if (ctx == 0) continue;
+          visv[(size_t)y * w + x] = 1;
+          if (mq.Decode(ctx)) {
+            mag[(size_t)y * w + x] |= 1 << p;
+            code_sign(x, y);
+          }
+        }
+      }
+    }
+  };
+
+  auto pass_mrp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ymax = std::min(y0 + 4, h);
+      for (int x = 0; x < w; ++x) {
+        for (int y = y0; y < ymax; ++y) {
+          size_t i = (size_t)y * w + x;
+          if (!sig[(size_t)(y + 1) * stride + x + 1] || visv[i]) continue;
+          int ctx;
+          if (refv[i]) {
+            ctx = 16;
+          } else {
+            const uint8_t* q = sig + (size_t)(y + 1) * stride + x + 1;
+            int nb = q[-stride - 1] + q[-stride] + q[-stride + 1] + q[-1] +
+                     q[1] + q[stride - 1] + q[stride] + q[stride + 1];
+            ctx = nb ? 15 : 14;
+          }
+          if (mq.Decode(ctx)) mag[i] |= 1 << p;
+          else mag[i] &= ~(1 << p);
+          refv[i] = 1;
+        }
+      }
+    }
+  };
+
+  auto pass_cleanup = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      bool full = y0 + 4 <= h;
+      int ymax = full ? y0 + 4 : h;
+      for (int x = 0; x < w; ++x) {
+        int start = y0;
+        if (full) {
+          bool rl = true;
+          for (int dy = 0; dy < 4 && rl; ++dy) {
+            int y = y0 + dy;
+            if (sig[(size_t)(y + 1) * stride + x + 1] ||
+                visv[(size_t)y * w + x] ||
+                J2kSigCtx(sig, stride, x + 1, y + 1, band) != 0)
+              rl = false;
+          }
+          if (rl) {
+            if (!mq.Decode(kCtxRl)) continue;
+            int r = (mq.Decode(kCtxUni) << 1) | mq.Decode(kCtxUni);
+            int y = y0 + r;
+            mag[(size_t)y * w + x] |= 1 << p;
+            code_sign(x, y);
+            start = y + 1;
+          }
+        }
+        for (int y = start; y < ymax; ++y) {
+          size_t i = (size_t)y * w + x;
+          if (sig[(size_t)(y + 1) * stride + x + 1] || visv[i]) continue;
+          int ctx = J2kSigCtx(sig, stride, x + 1, y + 1, band);
+          if (mq.Decode(ctx)) {
+            mag[i] |= 1 << p;
+            code_sign(x, y);
+          }
+        }
+      }
+    }
+  };
+
+  int passno = 0, p = msb;
+  while (passno < numpasses) {
+    if (passno == 0) {
+      pass_cleanup(p);
+      passno += 1;
+    } else {
+      pass_spp(p);
+      if (++passno >= numpasses) break;
+      pass_mrp(p);
+      if (++passno >= numpasses) break;
+      pass_cleanup(p);
+      passno += 1;
+    }
+    std::fill(visv.begin(), visv.end(), 0);
+    if (--p < 0) break;
+  }
+  for (size_t i = 0; i < (size_t)w * h; ++i)
+    out[i] = sbit[i] ? -mag[i] : mag[i];
+  return 0;
+}
+
+// Reversible 5/3 inverse DWT, 1D synthesis along a strided signal.
+// s: ne low samples, d: no high samples, out interleaved (n = ne + no).
+void J2kIdwtRow(const int32_t* s, const int32_t* d, int ne, int no,
+                int32_t* out) {
+  int n = ne + no;
+  if (n == 1) {
+    out[0] = s[0];
+    return;
+  }
+  std::vector<int32_t> xe(ne);
+  for (int k = 0; k < ne; ++k) {
+    int32_t dm1 = d[k - 1 < 0 ? 0 : (k - 1 >= no ? no - 1 : k - 1)];
+    int32_t dk = d[k >= no ? no - 1 : k];
+    xe[k] = s[k] - ((dm1 + dk + 2) >> 2);
+  }
+  for (int k = 0; k < no; ++k) {
+    int32_t xr = xe[k + 1 >= ne ? ne - 1 : k + 1];
+    out[2 * k + 1] = d[k] + ((xe[k] + xr) >> 1);
+  }
+  for (int k = 0; k < ne; ++k) out[2 * k] = xe[k];
+}
+
+struct J2kBand {
+  int w = 0, h = 0, band = 0;  // band: 0 LL/LH-table, 1 HL, 2 HH
+  int gain = 0;
+  std::vector<int32_t> coeffs;
+};
+
+struct J2kBlockState {
+  int x0, y0, w, h;
+  bool included = false;
+  int zbp = 0, lblock = 3, numpasses = 0;
+  std::vector<uint8_t> data;
+};
+
+// Decodes a lossless single-component J2K codestream. Returns 0 on success.
+int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
+              int64_t out_capacity, int* rows_out, int* cols_out) {
+  // Optional JP2 container: find the jp2c box.
+  static const uint8_t kJp2Sig[12] = {0, 0, 0, 0x0C, 'j', 'P', ' ', ' ',
+                                      0x0D, 0x0A, 0x87, 0x0A};
+  if (len >= 12 && std::memcmp(buf, kJp2Sig, 12) == 0) {
+    int64_t pos = 0;
+    bool found = false;
+    while (pos + 8 <= len) {
+      uint64_t ln = ((uint64_t)buf[pos] << 24) | (buf[pos + 1] << 16) |
+                    (buf[pos + 2] << 8) | buf[pos + 3];
+      const uint8_t* ty = buf + pos + 4;
+      int64_t payload = pos + 8;
+      if (ln == 1) {
+        if (pos + 16 > len) return 70;
+        ln = 0;
+        for (int i = 0; i < 8; ++i) ln = (ln << 8) | buf[pos + 8 + i];
+        payload = pos + 16;
+      }
+      if (ln == 0) ln = len - pos;
+      if (std::memcmp(ty, "jp2c", 4) == 0) {
+        buf += payload;
+        len = pos + (int64_t)ln - payload;
+        found = true;
+        break;
+      }
+      pos += (int64_t)ln;
+    }
+    if (!found) return 70;
+  }
+
+  auto u16 = [&](int64_t i) -> int { return (buf[i] << 8) | buf[i + 1]; };
+  auto u32 = [&](int64_t i) -> uint32_t {
+    return ((uint32_t)buf[i] << 24) | (buf[i + 1] << 16) | (buf[i + 2] << 8) |
+           buf[i + 3];
+  };
+  if (len < 4 || u16(0) != 0xFF4F) return 71;  // SOC
+  int64_t pos = 2;
+  int W = 0, H = 0, depth = 0, levels = -1, xcb = 0, ycb = 0, layers = 1;
+  int prog = 0, guard = 0;
+  bool is_signed = false, use_sop = false, use_eph = false;
+  std::vector<int> exps;
+  bool have_siz = false, have_cod = false, have_qcd = false;
+
+  while (true) {
+    if (pos + 4 > len) return 72;
+    int marker = u16(pos);
+    if (marker == 0xFF90) break;  // SOT
+    int seglen = u16(pos + 2);
+    if (pos + 2 + seglen > len) return 72;
+    const uint8_t* body = buf + pos + 4;
+    int n = seglen - 2;
+    if (marker == 0xFF51) {  // SIZ
+      if (n < 38) return 72;
+      W = (int)((body[2] << 24) | (body[3] << 16) | (body[4] << 8) | body[5]);
+      H = (int)((body[6] << 24) | (body[7] << 16) | (body[8] << 8) | body[9]);
+      uint32_t xo = u32(pos + 4 + 10), yo = u32(pos + 4 + 14);
+      uint32_t xt = u32(pos + 4 + 18), yt = u32(pos + 4 + 22);
+      uint32_t xto = u32(pos + 4 + 26), yto = u32(pos + 4 + 30);
+      int ncomp = (body[34] << 8) | body[35];
+      if (ncomp != 1) return 73;
+      if (xo || yo || xto || yto) return 73;
+      if ((int)xt < W || (int)yt < H) return 73;
+      depth = (body[36] & 0x7F) + 1;
+      is_signed = (body[36] & 0x80) != 0;
+      if (body[37] != 1 || body[38] != 1) return 73;
+      have_siz = true;
+    } else if (marker == 0xFF52) {  // COD
+      if (n < 10) return 72;
+      int scod = body[0];
+      use_sop = scod & 2;
+      use_eph = scod & 4;
+      prog = body[1];
+      layers = (body[2] << 8) | body[3];
+      if (body[4] != 0) return 73;  // MCT
+      levels = body[5];
+      xcb = (body[6] & 0x0F) + 2;
+      ycb = (body[7] & 0x0F) + 2;
+      if (body[8] != 0) return 73;  // code-block style
+      if (body[9] != 1) return 74;  // irreversible
+      if (scod & 1) {               // explicit precincts: whole-res only
+        if (n < 10 + levels + 1) return 72;
+        for (int r = 0; r <= levels; ++r) {
+          int ppx = body[10 + r] & 0x0F, ppy = body[10 + r] >> 4;
+          int rw = (W + (1 << (levels - r)) - 1) >> (levels - r);
+          int rh = (H + (1 << (levels - r)) - 1) >> (levels - r);
+          if ((1 << ppx) < rw || (1 << ppy) < rh) return 73;
+        }
+      }
+      have_cod = true;
+    } else if (marker == 0xFF5C) {  // QCD
+      if (n < 2) return 72;
+      int sqcd = body[0];
+      if ((sqcd & 0x1F) != 0) return 74;  // quantized = lossy
+      guard = sqcd >> 5;
+      exps.clear();
+      for (int i = 1; i < n; ++i) exps.push_back(body[i] >> 3);
+      have_qcd = true;
+    } else if (marker == 0xFF53 || marker == 0xFF5D || marker == 0xFF5F ||
+               marker == 0xFF5E || marker == 0xFF60) {
+      return 73;  // COC/QCC/POC/RGN/PPM
+    } else if (marker == 0xFF64 || marker == 0xFF63 || marker == 0xFF55 ||
+               marker == 0xFF57) {
+      // COM/CRG/TLM/PLM: skip
+    } else {
+      return 72;
+    }
+    pos += 2 + seglen;
+  }
+  if (!have_siz || !have_cod || !have_qcd || levels < 0) return 72;
+  if ((int64_t)W * H > out_capacity) return 75;
+  if (W <= 0 || H <= 0 || levels > 32) return 72;
+
+  // Collect tile-part data (tile 0 only).
+  std::vector<uint8_t> tile;
+  while (pos + 4 <= len && u16(pos) == 0xFF90) {
+    if (u16(pos + 2) != 10) return 72;
+    int isot = u16(pos + 4);
+    uint32_t psot = u32(pos + 6);
+    if (isot != 0) return 73;
+    int64_t end = psot ? pos + (int64_t)psot : len - 2;
+    if (end > len) return 72;
+    int64_t p = pos + 12;
+    while (p + 4 <= len && u16(p) != 0xFF93) {  // until SOD
+      int m = u16(p);
+      if (m == 0xFF64 || m == 0xFF58) p += 2 + u16(p + 2);  // COM/PLT
+      else return 73;
+    }
+    if (p + 2 > len) return 72;
+    tile.insert(tile.end(), buf + p + 2, buf + end);
+    pos = end;
+  }
+  if (tile.empty()) return 72;
+
+  // Geometry: dims[j] = size of LL_j.
+  std::vector<std::pair<int, int>> dims(levels + 1);
+  dims[0] = {W, H};
+  for (int j = 1; j <= levels; ++j)
+    dims[j] = {(dims[j - 1].first + 1) / 2, (dims[j - 1].second + 1) / 2};
+
+  int cbw = 1 << xcb, cbh = 1 << ycb;
+  std::vector<std::vector<J2kBand>> bands(levels + 1);
+  std::vector<std::vector<std::vector<J2kBlockState>>> blocks(levels + 1);
+  std::vector<std::vector<J2kTagTree>> incl(levels + 1), zbt(levels + 1);
+  std::vector<std::vector<std::pair<int, int>>> grid(levels + 1);
+  for (int r = 0; r <= levels; ++r) {
+    std::vector<J2kBand> row;
+    if (r == 0) {
+      J2kBand b;
+      b.w = dims[levels].first;
+      b.h = dims[levels].second;
+      b.band = 0;
+      b.gain = 0;
+      row.push_back(b);
+    } else {
+      int lvl = levels - r + 1;
+      int pw = dims[lvl - 1].first, ph = dims[lvl - 1].second;
+      int lw = (pw + 1) / 2, lh = (ph + 1) / 2;
+      J2kBand hl, lh_, hh;
+      hl.w = pw - lw; hl.h = lh; hl.band = 1; hl.gain = 1;
+      lh_.w = lw; lh_.h = ph - lh; lh_.band = 0; lh_.gain = 1;
+      hh.w = pw - lw; hh.h = ph - lh; hh.band = 2; hh.gain = 2;
+      row.push_back(hl);
+      row.push_back(lh_);
+      row.push_back(hh);
+    }
+    bands[r] = row;
+    blocks[r].resize(row.size());
+    incl[r].resize(row.size());
+    zbt[r].resize(row.size());
+    grid[r].resize(row.size());
+    for (size_t bi = 0; bi < row.size(); ++bi) {
+      J2kBand& b = bands[r][bi];
+      b.coeffs.assign((size_t)b.w * b.h, 0);
+      int nbx = b.w ? (b.w + cbw - 1) / cbw : 0;
+      int nby = b.h ? (b.h + cbh - 1) / cbh : 0;
+      grid[r][bi] = {nbx, nby};
+      if (nbx && nby) {
+        incl[r][bi].Init(nbx, nby);
+        zbt[r][bi].Init(nbx, nby);
+        for (int by = 0; by < nby; ++by)
+          for (int bx = 0; bx < nbx; ++bx) {
+            J2kBlockState s{bx * cbw, by * cbh,
+                            std::min(cbw, b.w - bx * cbw),
+                            std::min(cbh, b.h - by * cbh)};
+            blocks[r][bi].push_back(s);
+          }
+      }
+    }
+  }
+
+  // Parse packets. Single component + precinct: every progression order is
+  // a nesting of layers and resolutions.
+  const uint8_t* tb = tile.data();
+  int64_t tlen = (int64_t)tile.size(), tp = 0;
+  struct Contribution { J2kBlockState* blk; int length; };
+  auto parse_packet = [&](int layer, int r) -> int {
+    if (use_sop && tp + 2 <= tlen && tb[tp] == 0xFF && tb[tp + 1] == 0x91)
+      tp += 6;
+    J2kHdrReader hr{tb, tlen, tp};
+    std::vector<Contribution> contrib;
+    if (hr.ReadBit()) {
+      for (size_t bi = 0; bi < bands[r].size(); ++bi) {
+        int nbx = grid[r][bi].first, nby = grid[r][bi].second;
+        if (!nbx || !nby) continue;
+        for (int by = 0; by < nby; ++by)
+          for (int bx = 0; bx < nbx; ++bx) {
+            J2kBlockState& blk = blocks[r][bi][(size_t)by * nbx + bx];
+            int inc;
+            if (blk.included) inc = hr.ReadBit();
+            else inc = incl[r][bi].Decode(&hr, bx, by, layer + 1) ? 1 : 0;
+            if (!inc) continue;
+            if (!blk.included) {
+              int t = 1;
+              while (!zbt[r][bi].Decode(&hr, bx, by, t)) {
+                if (++t > 1 << 20) return 76;
+              }
+              blk.zbp = zbt[r][bi].Leaf(bx, by);
+              blk.lblock = 3;
+              blk.included = true;
+            }
+            int np;
+            if (!hr.ReadBit()) np = 1;
+            else if (!hr.ReadBit()) np = 2;
+            else {
+              int t = hr.ReadBits(2);
+              if (t != 3) np = 3 + t;
+              else {
+                t = hr.ReadBits(5);
+                if (t != 31) np = 6 + t;
+                else np = 37 + hr.ReadBits(7);
+              }
+            }
+            while (hr.ReadBit()) blk.lblock += 1;
+            int nbits = blk.lblock;
+            for (int v = np; v > 1; v >>= 1) nbits += 1;
+            int length = (int)hr.ReadBits(nbits);
+            if (hr.bad) return 76;
+            blk.numpasses += np;
+            contrib.push_back({&blk, length});
+          }
+      }
+    }
+    hr.Align();
+    if (hr.bad) return 76;
+    tp = hr.pos;
+    if (use_eph) {
+      if (tp + 2 > tlen || tb[tp] != 0xFF || tb[tp + 1] != 0x92) return 76;
+      tp += 2;
+    }
+    for (auto& cn : contrib) {
+      if (tp + cn.length > tlen) return 76;
+      cn.blk->data.insert(cn.blk->data.end(), tb + tp, tb + tp + cn.length);
+      tp += cn.length;
+    }
+    return 0;
+  };
+
+  if (prog == 0) {  // LRCP
+    for (int l = 0; l < layers; ++l)
+      for (int r = 0; r <= levels; ++r)
+        if (int rc = parse_packet(l, r)) return rc;
+  } else {
+    for (int r = 0; r <= levels; ++r)
+      for (int l = 0; l < layers; ++l)
+        if (int rc = parse_packet(l, r)) return rc;
+  }
+
+  // T1 decode all blocks into subband coefficient planes.
+  for (int r = 0; r <= levels; ++r) {
+    for (size_t bi = 0; bi < bands[r].size(); ++bi) {
+      J2kBand& b = bands[r][bi];
+      int eps;
+      if ((int)exps.size() == 1) eps = exps[0];
+      else {
+        size_t idx = r == 0 ? 0 : 3 * (r - 1) + 1 + bi;
+        if (idx >= exps.size()) return 72;
+        eps = exps[idx];
+      }
+      int mb = guard + eps - 1;
+      for (auto& blk : blocks[r][bi]) {
+        if (!blk.included || blk.numpasses == 0) continue;
+        std::vector<int32_t> cf((size_t)blk.w * blk.h);
+        int rc = J2kT1Decode(blk.data.data(), (int64_t)blk.data.size(),
+                             blk.w, blk.h, b.band, mb - 1 - blk.zbp,
+                             blk.numpasses, cf.data());
+        if (rc) return rc;
+        for (int y = 0; y < blk.h; ++y)
+          std::memcpy(&b.coeffs[(size_t)(blk.y0 + y) * b.w + blk.x0],
+                      &cf[(size_t)y * blk.w], sizeof(int32_t) * blk.w);
+      }
+    }
+  }
+
+  // Inverse DWT: synthesis HOR then VER per level (F.3.4).
+  std::vector<int32_t> ll = std::move(bands[0][0].coeffs);
+  int lw = bands[0][0].w, lhh = bands[0][0].h;
+  std::vector<int32_t> scratch, col_s, col_d, col_o;
+  for (int r = 1; r <= levels; ++r) {
+    J2kBand& HL = bands[r][0];
+    J2kBand& LH = bands[r][1];
+    J2kBand& HH = bands[r][2];
+    int pw = lw + HL.w, ph = lhh + LH.h;
+    std::vector<int32_t> lo_y((size_t)pw * lhh), hi_y((size_t)pw * LH.h);
+    // horizontal merges
+    for (int y = 0; y < lhh; ++y)
+      J2kIdwtRow(&ll[(size_t)y * lw], HL.w ? &HL.coeffs[(size_t)y * HL.w]
+                                           : nullptr,
+                 lw, HL.w, &lo_y[(size_t)y * pw]);
+    for (int y = 0; y < LH.h; ++y)
+      J2kIdwtRow(&LH.coeffs[(size_t)y * LH.w],
+                 HH.w ? &HH.coeffs[(size_t)y * HH.w] : nullptr, LH.w, HH.w,
+                 &hi_y[(size_t)y * pw]);
+    // vertical merges per column
+    std::vector<int32_t> nxt((size_t)pw * ph);
+    col_s.resize(lhh);
+    col_d.resize(LH.h);
+    col_o.resize(ph);
+    for (int x = 0; x < pw; ++x) {
+      for (int y = 0; y < lhh; ++y) col_s[y] = lo_y[(size_t)y * pw + x];
+      for (int y = 0; y < LH.h; ++y) col_d[y] = hi_y[(size_t)y * pw + x];
+      J2kIdwtRow(col_s.data(), col_d.data(), lhh, LH.h, col_o.data());
+      for (int y = 0; y < ph; ++y) nxt[(size_t)y * pw + x] = col_o[y];
+    }
+    ll = std::move(nxt);
+    lw = pw;
+    lhh = ph;
+  }
+  if (lw != W || lhh != H) return 72;
+
+  // DC level shift + clamp (E.1.1).
+  int32_t lo, hi;
+  if (is_signed) {
+    lo = -(1 << (depth - 1));
+    hi = (1 << (depth - 1)) - 1;
+  } else {
+    int32_t shift = 1 << (depth - 1);
+    for (size_t i = 0; i < (size_t)W * H; ++i) ll[i] += shift;
+    lo = 0;
+    hi = (1 << depth) - 1;
+  }
+  for (size_t i = 0; i < (size_t)W * H; ++i)
+    out[i] = std::min(std::max(ll[i], lo), hi);
+  *rows_out = H;
+  *cols_out = W;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// JPEG 2000 Part 1 lossless decode of one single-component codestream (raw
+// or JP2-wrapped). Returns 0 on success; any nonzero means "use the python
+// decoder" (which owns the precise error messages).
+int mmnn_j2k_decode(const uint8_t* buf, int64_t len, int32_t* out,
+                    int64_t out_capacity, int* rows, int* cols) {
+  return DecodeJ2k(buf, len, out, out_capacity, rows, cols);
+}
+
+// JPEG-LS (T.87) decode of one single-component ILV-0 frame. Returns 0 on
+// success; any nonzero means "use the python decoder" (which also owns the
+// error messages for malformed streams).
+int mmnn_jpeg_ls_decode(const uint8_t* buf, int64_t len, uint16_t* out,
+                        int64_t out_capacity, int* rows, int* cols) {
+  return DecodeJpegLs(buf, len, out, out_capacity, rows, cols);
+}
 
 // JPEG Lossless (SOF3) decode of one single-component frame.
 // Returns 0 on success; rows/cols report the decoded shape.

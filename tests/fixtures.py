@@ -394,3 +394,53 @@ def make_full_cohort(root: str, n: int = 24, seed: int = 0):
     make_image_tree(t1, anon, seed=seed + 1)
     make_image_tree(t2, anon, seed=seed + 2)
     return {"clinical": clin, "key": key, "t1": t1, "t2": t2, "root": root}, uids
+
+
+def write_dicom_j2k(path, pixel: np.ndarray, instance=1, z=0.0,
+                    signed=False, frames=None, bits=16,
+                    pixel_spacing=None, jp2=False):
+    """A JPEG 2000 lossless (1.2.840.10008.1.2.4.90) .dcm file with
+    encapsulated pixel data — one fragment per frame. jp2=True wraps each
+    codestream in a JP2 container (non-conformant but seen in the wild)."""
+    from mmnn_sts_tpu.data.dicom import J2K_LOSSLESS
+    from mmnn_sts_tpu.data.jpeg2000 import encode_j2k
+
+    def enc(frame):
+        blob = encode_j2k(frame, bits, signed=signed)
+        if jp2:
+            sig = bytes.fromhex("0000000C6A5020200D0A870A")
+            ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
+            jp2c = struct.pack(">I", 8 + len(blob)) + b"jp2c" + blob
+            blob = sig + ftyp + jp2c
+        return blob
+
+    el = dicom_el_explicit
+    parts = [dicom_meta(J2K_LOSSLESS)]
+    if frames:
+        nframes, rows, cols = pixel.shape
+        parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))
+        streams = [enc(pixel[k]) for k in range(nframes)]
+    else:
+        rows, cols = pixel.shape
+        streams = [enc(pixel)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", bits)))
+    parts.append(el(0x0028, 0x0103, b"US",
+                    struct.pack("<H", 1 if signed else 0)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+    parts.append(struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF))
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, 0))  # empty BOT
+    for st in streams:
+        st += b"\x00" if len(st) % 2 else b""
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(st)) + st)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))

@@ -1,0 +1,353 @@
+"""JPEG 2000 (ITU-T T.800) codec + DICOM integration tests.
+
+The reference decoded JPEG 2000 implicitly through SimpleITK/GDCM+OpenJPEG
+(/root/reference/data/s3utils.py:244-265); data/jpeg2000.py implements the
+Part-1 lossless path from the public spec. Round-trips pin encoder and
+decoder against each other across coding modes (MQ coder, tag trees, T1
+passes, 5/3 DWT), bit depths, sign handling, shapes, and container
+wrapping; structural tests pin the header parse and the unsupported-stream
+errors, which hold independently of the encoder.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fixtures import write_dicom_j2k  # noqa: E402
+
+from mmnn_sts_tpu.data.dicom import load_dicom_series  # noqa: E402
+from mmnn_sts_tpu.data.j2k_mq import MQDecoder, MQEncoder  # noqa: E402
+from mmnn_sts_tpu.data.jpeg2000 import (  # noqa: E402
+    TagTree,
+    decode_j2k,
+    dwt53_forward,
+    dwt53_inverse,
+    encode_j2k,
+    t1_decode_block,
+    t1_encode_block,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(9)
+
+
+# ---------------------------------------------------------------------------
+# MQ coder
+# ---------------------------------------------------------------------------
+
+
+def test_mq_roundtrip_biased_streams():
+    """Biased streams drive the probability ladder into the skewed states
+    that exercise 0xFF stuffing and carry propagation into stuffed bytes."""
+    for seed in range(40):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(100, 2500))
+        bits = (r.random(n) < r.random() * 0.6).astype(int)
+        ctxs = r.integers(0, 19, n)
+        enc = MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == list(bits), f"seed {seed}"
+
+
+def test_mq_stuffed_byte_carries_bit_7():
+    """A valid encoder may emit bytes 0x80-0x8F after 0xFF (7 data bits +
+    the carry); the decoder must treat only >0x8F as a marker. Regression
+    for the classic drop-the-carry-in-stuff bug."""
+    found = False
+    for seed in range(200):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(200, 1500))
+        bits = (r.random(n) < 0.2).astype(int)
+        ctxs = r.integers(0, 19, n)
+        enc = MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        seg = enc.flush()
+        dec = MQDecoder(seg)
+        assert [dec.decode(int(c)) for c in ctxs] == list(bits)
+        for i in range(1, len(seg)):
+            if seg[i - 1] == 0xFF and 0x80 <= seg[i] <= 0x8F:
+                found = True
+    assert found, "sweep never produced a carry-into-stuffed-byte case"
+
+
+# ---------------------------------------------------------------------------
+# DWT and tag trees
+# ---------------------------------------------------------------------------
+
+
+def test_dwt53_perfect_reconstruction(rng):
+    for shape in [(1, 1), (1, 7), (8, 8), (13, 17), (64, 48), (5, 1), (2, 3)]:
+        x = rng.integers(-30000, 30000, size=shape)
+        for lev in range(4):
+            try:
+                ll, bands = dwt53_forward(x, lev)
+            except ValueError:
+                continue
+            assert np.array_equal(dwt53_inverse(ll, bands), x), (shape, lev)
+
+
+def test_dwt53_subband_dims():
+    x = np.zeros((13, 17), np.int64)
+    ll, bands = dwt53_forward(x, 2)
+    (hl2, lh2, hh2), (hl1, lh1, hh1) = bands
+    assert hl1.shape == (7, 8) and lh1.shape == (6, 9) and hh1.shape == (6, 8)
+    assert ll.shape == (4, 5) and hl2.shape == (4, 4)
+    assert lh2.shape == (3, 5) and hh2.shape == (3, 4)
+
+
+class _BitSource:
+    def __init__(self, bits):
+        self.bits = bits
+        self.i = 0
+
+    def read_bit(self):
+        b = self.bits[self.i]
+        self.i += 1
+        return b
+
+
+def test_tagtree_roundtrip(rng):
+    for w, h in [(1, 1), (3, 2), (7, 5), (4, 4)]:
+        vals = rng.integers(0, 6, size=(h, w))
+        te, td = TagTree(w, h), TagTree(w, h)
+        te.set_values(vals)
+        bits, queries = [], []
+        for y in range(h):
+            for x in range(w):
+                for t in range(1, 8):
+                    te.encode(bits, x, y, t)
+                    queries.append((x, y, t, int(vals[y, x]) < t))
+        r = _BitSource(bits)
+        for x, y, t, expect in queries:
+            assert td.decode(r, x, y, t) == expect, (w, h, x, y, t)
+        assert r.i == len(bits), "encoder emitted unread bits"
+
+
+# ---------------------------------------------------------------------------
+# T1 code-block coding
+# ---------------------------------------------------------------------------
+
+
+def test_t1_block_roundtrip_all_bands():
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        for band in ("LL", "HL", "LH", "HH"):
+            shape = tuple(int(v) for v in r.integers(1, 40, 2))
+            mag = np.abs(r.normal(0, 400, size=shape)).astype(np.int64)
+            mag[r.random(shape) < r.random()] = 0  # sparsity -> run mode
+            if not mag.any():
+                mag[0, 0] = 3
+            sgn = (r.random(shape) < 0.5).astype(np.uint8)
+            zbp, npasses, data = t1_encode_block(mag, sgn, band, 15)
+            dec = t1_decode_block(data, shape[1], shape[0], band, 15,
+                                  zbp, npasses)
+            assert np.array_equal(dec, np.where(sgn > 0, -mag, mag)), (
+                seed, band, shape)
+
+
+# ---------------------------------------------------------------------------
+# Full codestream
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,depth,signed", [
+    ((17, 23), 8, False),
+    ((64, 48), 16, False),
+    ((33, 61), 12, False),
+    ((16, 16), 16, True),
+    ((5, 5), 8, False),
+    ((1, 9), 8, False),
+    ((70, 70), 10, True),
+])
+def test_codestream_roundtrip(rng, shape, depth, signed):
+    lo = -(1 << (depth - 1)) if signed else 0
+    hi = (1 << (depth - 1)) - 1 if signed else (1 << depth) - 1
+    img = rng.integers(lo, hi + 1, size=shape)
+    assert np.array_equal(decode_j2k(encode_j2k(img, depth, signed)), img)
+
+
+def test_codestream_flat_regions_compress(rng):
+    """Flat masks exercise run-length cleanup + excluded all-zero blocks,
+    and must compress decisively."""
+    img = np.zeros((96, 128), np.int64)
+    img[20:70, 30:100] = 255
+    blob = encode_j2k(img, 16)
+    assert len(blob) < img.size * 2 // 10
+    assert np.array_equal(decode_j2k(blob), img)
+
+
+def test_codestream_smooth_compresses(rng):
+    x = np.linspace(0, 4000, 128)
+    img = (x[None, :] + x[:96, None] / 3).astype(np.int64)
+    img += rng.integers(0, 3, size=img.shape)
+    blob = encode_j2k(img, 16)
+    assert len(blob) < img.size * 2 // 3
+    assert np.array_equal(decode_j2k(blob), img)
+
+
+def test_rejects_truncated():
+    blob = encode_j2k(np.zeros((8, 8), np.int64), 8)
+    with pytest.raises(ValueError):
+        decode_j2k(blob[:12])
+
+
+def test_rejects_multi_component():
+    blob = bytearray(encode_j2k(np.zeros((8, 8), np.int64), 8))
+    # SIZ Csiz lives at a fixed offset in our emitter: SOC(2) SIZ(2) L(2)
+    # Rsiz(2) Xsiz(4) Ysiz(4) XO(4) YO(4) XT(4) YT(4) XTO(4) YTO(4) -> Csiz
+    off = 2 + 2 + 2 + 2 + 32
+    blob[off : off + 2] = (3).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="components"):
+        decode_j2k(bytes(blob))
+
+
+def test_rejects_irreversible_transform():
+    blob = bytearray(encode_j2k(np.zeros((8, 8), np.int64), 8))
+    cod_at = blob.index(bytes((0xFF, 0x52)))
+    blob[cod_at + 4 + 9] = 0  # SPcod transform byte -> 9/7
+    with pytest.raises(ValueError, match="irreversible"):
+        decode_j2k(bytes(blob))
+
+
+def test_decodes_jp2_container(rng):
+    import struct
+
+    img = rng.integers(0, 4096, size=(19, 21))
+    blob = encode_j2k(img, 12)
+    sig = bytes.fromhex("0000000C6A5020200D0A870A")
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
+    jp2 = sig + ftyp + struct.pack(">I", 8 + len(blob)) + b"jp2c" + blob
+    assert np.array_equal(decode_j2k(jp2), img)
+
+
+# ---------------------------------------------------------------------------
+# DICOM integration (transfer syntax 1.2.840.10008.1.2.4.90)
+# ---------------------------------------------------------------------------
+
+
+def test_single_frame_j2k_dicom(tmp_path, rng):
+    img = rng.integers(0, 4096, size=(18, 22)).astype(np.uint16)
+    p = str(tmp_path / "s.dcm")
+    write_dicom_j2k(p, img)
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32))
+
+
+def test_signed_j2k_pixels(tmp_path, rng):
+    img = rng.integers(-900, 900, size=(16, 16)).astype(np.int16)
+    p = str(tmp_path / "s.dcm")
+    write_dicom_j2k(p, img, signed=True)
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32))
+
+
+def test_multiframe_j2k_mask(tmp_path):
+    vol = np.zeros((4, 12, 12), np.uint16)
+    vol[1:3, 2:9, 3:10] = 255
+    p = str(tmp_path / "m.dcm")
+    write_dicom_j2k(p, vol, frames=True)
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  vol.astype(np.float32))
+
+
+def test_j2k_series_in_pipeline(tmp_path, rng):
+    imgs = rng.integers(0, 4096, size=(5, 10, 12)).astype(np.uint16)
+    d = tmp_path / "series"
+    os.makedirs(d)
+    for k in range(5):
+        write_dicom_j2k(str(d / f"s{k}.dcm"), imgs[k], instance=k + 1,
+                        z=2.0 * k, pixel_spacing=(1.0, 1.0))
+    vol, geom = load_dicom_series(str(d), with_geometry=True)
+    np.testing.assert_array_equal(vol, imgs.astype(np.float32))
+    np.testing.assert_allclose(geom.z_offsets, [0, 2, 4, 6, 8])
+
+
+def test_jp2_wrapped_dicom_frame(tmp_path, rng):
+    """Non-conformant JP2-in-DICOM wrapping decodes too (seen in the wild)."""
+    img = rng.integers(0, 256, size=(14, 14)).astype(np.uint16)
+    p = str(tmp_path / "s.dcm")
+    write_dicom_j2k(p, img, jp2=True)
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) fast path: mmnn_j2k_decode (native/mmnn_native.cpp) must agree
+# sample-for-sample with the python decoder and return None (python fallback)
+# for anything it does not handle.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def native_mod():
+    import subprocess
+
+    from mmnn_sts_tpu.data import native
+
+    if not native.available() or not hasattr(
+            native._load(), "mmnn_j2k_decode"):
+        ndir = str(Path(__file__).resolve().parent.parent / "native")
+        rc = subprocess.run(["make", "-B", "-C", ndir], capture_output=True)
+        assert rc.returncode == 0, rc.stderr.decode()
+        native._TRIED = False  # re-probe
+        native._LIB = None
+    assert native.available(), "libmmnn_native.so missing"
+    return native
+
+
+def test_native_matches_python_decoder(native_mod, rng):
+    cases = [
+        (rng.integers(0, 256, size=(17, 23)), 8, False),
+        (rng.integers(0, 65536, size=(48, 31)), 16, False),
+        (rng.integers(-2048, 2048, size=(33, 29)), 12, True),
+        (rng.integers(0, 1024, size=(1, 9)), 10, False),
+    ]
+    flat = np.zeros((64, 96), np.int64)
+    flat[10:50, 20:70] = 255
+    cases.append((flat, 16, False))
+    for img, depth, signed in cases:
+        blob = encode_j2k(img, depth, signed)
+        py = decode_j2k(blob)
+        nat = native_mod.j2k_decode_native(blob, *py.shape)
+        assert nat is not None
+        np.testing.assert_array_equal(nat, py)
+        np.testing.assert_array_equal(nat, img)
+
+
+def test_native_decodes_jp2_container(native_mod, rng):
+    import struct
+
+    img = rng.integers(0, 4096, size=(19, 21))
+    blob = encode_j2k(img, 12)
+    sig = bytes.fromhex("0000000C6A5020200D0A870A")
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
+    jp2 = sig + ftyp + struct.pack(">I", 8 + len(blob)) + b"jp2c" + blob
+    nat = native_mod.j2k_decode_native(jp2, 19, 21)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, img)
+
+
+def test_native_falls_back_to_python(native_mod):
+    blob = encode_j2k(np.zeros((8, 8), np.int64), 8)
+    assert native_mod.j2k_decode_native(blob[:12], 8, 8) is None
+    bad = bytearray(blob)
+    cod_at = bad.index(bytes((0xFF, 0x52)))
+    bad[cod_at + 4 + 9] = 0  # irreversible transform flag
+    assert native_mod.j2k_decode_native(bytes(bad), 8, 8) is None
+
+
+def test_native_shape_mismatch_raises(native_mod, rng):
+    img = rng.integers(0, 256, size=(6, 8))
+    blob = encode_j2k(img, 8)
+    with pytest.raises(ValueError, match="DICOM says"):
+        native_mod.j2k_decode_native(blob, 8, 6)

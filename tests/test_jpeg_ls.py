@@ -213,3 +213,85 @@ def test_near_lossless_dicom_syntax(tmp_path, rng):
     write_dicom_jpeg_ls(p, img, near=3)
     out = np.asarray(load_dicom_series(p))[0]
     assert np.max(np.abs(out - img.astype(np.float32))) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) fast path: mmnn_jpeg_ls_decode (native/mmnn_native.cpp) must
+# agree sample-for-sample with the python decoder and return None (python
+# fallback) for anything it does not handle.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def native_mod():
+    import subprocess
+
+    from mmnn_sts_tpu.data import native
+
+    if not native.available():
+        ndir = str(Path(__file__).resolve().parent.parent / "native")
+        rc = subprocess.run(["make", "-C", ndir], capture_output=True)
+        assert rc.returncode == 0, rc.stderr.decode()
+        native._TRIED = False  # re-probe
+    assert native.available(), "libmmnn_native.so missing"
+    return native
+
+
+def _content_cases(rng):
+    flat = np.zeros((50, 70), np.uint16)
+    flat[7:40, 10:60] = 255
+    flat[20, 15:55] = rng.integers(0, 65536, 40)
+    x = np.linspace(0, 3000, 64)
+    smooth = (x[None, :] + 2 * x[:48, None] / 3).astype(np.uint16)
+    return [
+        (rng.integers(0, 4, size=(23, 19)).astype(np.uint16), 2, 0),
+        (rng.integers(0, 256, size=(23, 19)).astype(np.uint16), 8, 0),
+        (rng.integers(0, 65536, size=(23, 19)).astype(np.uint16), 16, 0),
+        (flat, 16, 0),  # run mode + interruption coding
+        (smooth, 16, 0),  # regular mode + bias correction
+        (rng.integers(0, 4096, size=(31, 17)).astype(np.uint16), 12, 2),
+        (np.full((9, 9), 65535, np.uint16), 16, 0),  # 0xFF bit stuffing
+        (rng.integers(0, 256, size=(40, 1)).astype(np.uint16), 8, 0),
+        (rng.integers(0, 256, size=(1, 40)).astype(np.uint16), 8, 0),
+    ]
+
+
+def test_native_matches_python_decoder(native_mod, rng):
+    for img, bits, near in _content_cases(rng):
+        blob = encode_jpeg_ls(img, bits, near)
+        py = decode_jpeg_ls(blob)
+        nat = native_mod.jpeg_ls_decode_native(blob, *py.shape)
+        assert nat is not None
+        np.testing.assert_array_equal(nat, py)
+
+
+def test_native_lse_presets(native_mod, rng):
+    img = rng.integers(0, 4096, size=(14, 14)).astype(np.uint16)
+    blob = encode_jpeg_ls(img, 12)
+    maxval = (1 << 12) - 1
+    lse = bytes((0xFF, LSE)) + (13).to_bytes(2, "big") + bytes((1,)) + \
+        maxval.to_bytes(2, "big") + \
+        b"".join(v.to_bytes(2, "big") for v in (0, 0, 0, 64))
+    sof_at = blob.index(bytes((0xFF, SOF55)))
+    cut = sof_at + 2 + int.from_bytes(blob[sof_at + 2 : sof_at + 4], "big")
+    nat = native_mod.jpeg_ls_decode_native(blob[:cut] + lse + blob[cut:],
+                                           14, 14)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, img)
+
+
+def test_native_falls_back_to_python(native_mod):
+    """Streams the native decoder does not handle return None so the caller
+    re-decodes (and gets the precise error) through data/jpeg_ls.py."""
+    blob = encode_jpeg_ls(np.zeros((4, 4), np.uint16), 8)
+    assert native_mod.jpeg_ls_decode_native(blob[:10], 4, 4) is None
+    bad = bytearray(blob)
+    bad[bad.index(bytes((0xFF, SOF55))) + 9] = 3  # claim 3 components
+    assert native_mod.jpeg_ls_decode_native(bytes(bad), 4, 4) is None
+
+
+def test_native_shape_mismatch_raises(native_mod, rng):
+    img = rng.integers(0, 256, size=(6, 8)).astype(np.uint16)
+    blob = encode_jpeg_ls(img, 8)
+    with pytest.raises(ValueError, match="DICOM says"):
+        native_mod.jpeg_ls_decode_native(blob, 8, 6)
