@@ -649,12 +649,20 @@ def _parse_packet(buf: bytes, pos: int, bands, layer: int,
     return pos
 
 
+def _layer_contrib(blk, layer: int):
+    """This layer's (npasses, bytes) contribution of an encoder block.
+    blk.pending is (zbp, [per-layer contribution or None])."""
+    if blk.pending is None:
+        return None
+    return blk.pending[1][layer]
+
+
 def _emit_packet(bands, layer: int) -> bytes:
-    """Encode one packet (single layer encoder: all passes in layer 0)."""
+    """Encode one packet: this layer's contributions of one resolution."""
     w = _HdrWriter()
     entries = []
     any_included = any(
-        blk.pending is not None
+        _layer_contrib(blk, layer) is not None
         for band in bands if band.nbx and band.nby
         for row in band.blocks for blk in row
     )
@@ -668,15 +676,16 @@ def _emit_packet(bands, layer: int) -> bytes:
         for by in range(band.nby):
             for bx in range(band.nbx):
                 blk = band.blocks[by][bx]
+                contrib = _layer_contrib(blk, layer)
                 if blk.included:
-                    w.write_bit(1 if blk.pending else 0)
+                    w.write_bit(1 if contrib else 0)
                 else:
                     band.incl_tree.encode(w, bx, by, layer + 1)
-                if blk.pending is None:
+                if contrib is None:
                     continue
-                zbp, npasses, data = blk.pending
+                npasses, data = contrib
                 if not blk.included:
-                    band.zbp_tree.encode(w, bx, by, zbp + 1)
+                    band.zbp_tree.encode(w, bx, by, blk.pending[0] + 1)
                     blk.lblock = 3
                     blk.included = True
                 _write_numpasses(w, npasses)
@@ -692,6 +701,26 @@ def _emit_packet(bands, layer: int) -> bytes:
     for data in entries:
         out += data
     return bytes(out)
+
+
+def _split_passes(npasses: int, data: bytes, layers: int):
+    """Distribute a block's passes and (arbitrarily splittable, since style-0
+    segments are only ever concatenated back) bytes across quality layers."""
+    per = [npasses // layers + (1 if i < npasses % layers else 0)
+           for i in range(layers)]
+    out = []
+    off = 0
+    done = 0
+    for np_l in per:
+        if np_l == 0:
+            out.append(None)
+            continue
+        done += np_l
+        end = len(data) if done == npasses else max(
+            off, len(data) * done // npasses)
+        out.append((np_l, data[off:end]))
+        off = end
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -940,9 +969,14 @@ def decode_j2k(buf: bytes) -> np.ndarray:
 
 
 def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
-               levels: int | None = None, cblk: int = 64) -> bytes:
-    """Encode (rows, cols) integer samples as a lossless single-layer LRCP
-    JPEG 2000 codestream (for tests/fixtures; see module docstring)."""
+               levels: int | None = None, cblk: int = 64,
+               layers: int = 1) -> bytes:
+    """Encode (rows, cols) integer samples as a lossless LRCP JPEG 2000
+    codestream (for tests/fixtures; see module docstring). layers > 1
+    splits each block's coding passes across quality layers — with style-0
+    (non-terminated) segments the byte split is arbitrary, so this
+    exercises a decoder's multi-layer accumulation path exactly as a
+    rate-allocating encoder would."""
     img = np.asarray(img, np.int64)
     h, w = img.shape
     if signed:
@@ -981,7 +1015,8 @@ def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
             if band.nbx == 0 or band.nby == 0:
                 continue
             mb = guard + (depth + band.gain) - 1
-            incl = np.ones((band.nby, band.nbx), np.int64)  # 1 = excluded
+            incl = np.full((band.nby, band.nbx), layers,
+                           np.int64)  # layers = never included
             zbps = np.zeros((band.nby, band.nbx), np.int64)
             for by, row_b in enumerate(band.blocks):
                 for bx, blk in enumerate(row_b):
@@ -994,20 +1029,21 @@ def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
                            ).astype(np.uint8)
                     zbp, npasses, data = t1_encode_block(
                         mag, sgn, band.name, mb)
-                    blk.pending = (zbp, npasses, data)
+                    blk.pending = (zbp, _split_passes(npasses, data, layers))
                     incl[by, bx] = 0
                     zbps[by, bx] = zbp
             band.incl_tree.set_values(incl)
             band.zbp_tree.set_values(zbps)
 
-    tile = b"".join(_emit_packet(bands_per_res[r], 0)
+    tile = b"".join(_emit_packet(bands_per_res[r], l)
+                    for l in range(layers)
                     for r in range(levels + 1))
 
     siz = (b"\x00\x00" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
            + bytes(8) + w.to_bytes(4, "big") + h.to_bytes(4, "big")
            + bytes(8) + b"\x00\x01"
            + bytes(((depth - 1) | (0x80 if signed else 0), 1, 1)))
-    cod = bytes((0, 0)) + (1).to_bytes(2, "big") + bytes(
+    cod = bytes((0, 0)) + layers.to_bytes(2, "big") + bytes(
         (0, levels, xcb - 2, ycb - 2, 0, 1))
     nsub = 1 + 3 * levels
     exps = []
