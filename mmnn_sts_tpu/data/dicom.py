@@ -10,10 +10,12 @@ and Explicit VR Little Endian (1.2.840.10008.1.2.1) with uncompressed
 8/16-bit pixel data — the common export format for the MRI/DicomRT data the
 reference handles — plus the compressed syntaxes JPEG Lossless process 14
 (data/jpeg_lossless.py), RLE (data/dicom_rle.py), JPEG-LS lossless /
-near-lossless (data/jpeg_ls.py), and JPEG 2000 (data/jpeg2000.py; lossless
-always, .91 raises only when actually irreversible). With these, every
-lossless syntax GDCM gave the reference decodes natively; lossy JPEG
-exports raise with a clear conversion message.
+near-lossless (data/jpeg_ls.py), JPEG 2000 (data/jpeg2000.py; lossless
+always, .91 raises only when actually irreversible), and lossy
+sequential-DCT JPEG baseline/extended (data/jpeg_baseline.py). Every
+lossless syntax and the lossy JPEG family decode natively; the one
+exclusion is irreversible-wavelet JPEG 2000 (intent decision in
+PARITY.md), which raises with a conversion hint.
 
 Slice ordering: by ImagePositionPatient projected on the slice normal when
 available, else InstanceNumber — matching GDCM's series sorting behavior.
@@ -45,9 +47,15 @@ JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 # with a conversion hint.
 J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
 J2K = "1.2.840.10008.1.2.4.91"
+# Lossy sequential-DCT JPEG (T.81): .50 = baseline 8-bit, .51 = extended
+# 12-bit. Decoded by data/jpeg_baseline.py — like the reference (via GDCM/
+# libjpeg), training proceeds on the lossy samples.
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 _COMPRESSED_SYNTAXES = {
     JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, RLE_LOSSLESS,
     JPEG_LS_LOSSLESS, JPEG_LS_NEAR, J2K_LOSSLESS, J2K,
+    JPEG_BASELINE, JPEG_EXTENDED,
 }
 
 # VRs with 4-byte length (explicit VR encoding)
@@ -213,8 +221,8 @@ def read_dicom_file(path: str) -> DicomSlice:
         raise ValueError(
             f"{path}: unsupported transfer syntax {syntax} (supported: "
             "uncompressed LE, JPEG Lossless process 14, JPEG-LS, JPEG 2000, "
-            "and RLE Lossless; convert other compressed exports to one of "
-            "those or NIfTI)"
+            "RLE Lossless, and lossy JPEG baseline/extended; convert other "
+            "exports to one of those or NIfTI)"
         )
     explicit = syntax != IMPLICIT_LE  # all encapsulated syntaxes are explicit
 
@@ -285,8 +293,9 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
     Dispatches on the transfer syntax: JPEG Lossless process 14
     (data/jpeg_lossless.py + native fast path), RLE Lossless
     (data/dicom_rle.py, which PS3.5 G restricts to one fragment per
-    frame), JPEG-LS (data/jpeg_ls.py + native fast path), or JPEG 2000
-    (data/jpeg2000.py). Frame <-> fragment mapping (PS3.5 A.4): single-frame objects
+    frame), JPEG-LS (data/jpeg_ls.py + native fast path), JPEG 2000
+    (data/jpeg2000.py + native fast path), or lossy sequential-DCT JPEG
+    (data/jpeg_baseline.py). Frame <-> fragment mapping (PS3.5 A.4): single-frame objects
     may split one frame across many fragments (concatenate); multi-frame
     objects must start each frame on a fragment boundary — with one
     fragment per frame when no Basic Offset Table is present, else the
@@ -341,6 +350,18 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
                         f"JPEG 2000 frame is {vals.shape[0]}x"
                         f"{vals.shape[1]}, DICOM says {s.rows}x{s.cols}"
                     )
+            dt = np.uint8 if s.bits_allocated == 8 else np.uint16
+            return (vals & ((1 << s.bits_allocated) - 1)).astype(dt)
+    elif s.transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
+        from .jpeg_baseline import decode_jpeg_baseline
+
+        def decode_one(st: bytes) -> np.ndarray:
+            vals = decode_jpeg_baseline(bytes(st))
+            if vals.shape != (s.rows, s.cols):
+                raise ValueError(
+                    f"JPEG frame is {vals.shape[0]}x{vals.shape[1]}, "
+                    f"DICOM says {s.rows}x{s.cols}"
+                )
             dt = np.uint8 if s.bits_allocated == 8 else np.uint16
             return (vals & ((1 << s.bits_allocated) - 1)).astype(dt)
     else:

@@ -444,3 +444,45 @@ def write_dicom_j2k(path, pixel: np.ndarray, instance=1, z=0.0,
     parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
     with open(path, "wb") as f:
         f.write(b"".join(parts))
+
+
+def write_dicom_jpeg_baseline(path, pixel: np.ndarray, instance=1, z=0.0,
+                              frames=None, bits=8, quant=1,
+                              pixel_spacing=None):
+    """A lossy JPEG .dcm file — 1.2.840.10008.1.2.4.50 (baseline, 8-bit)
+    or .51 (extended sequential, 12-bit) chosen from `bits`."""
+    from mmnn_sts_tpu.data.dicom import JPEG_BASELINE, JPEG_EXTENDED
+    from mmnn_sts_tpu.data.jpeg_baseline import encode_jpeg_baseline
+
+    uid = JPEG_BASELINE if bits == 8 else JPEG_EXTENDED
+    alloc = 8 if bits == 8 else 16
+    el = dicom_el_explicit
+    parts = [dicom_meta(uid)]
+    if frames:
+        nframes, rows, cols = pixel.shape
+        parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))
+        streams = [encode_jpeg_baseline(pixel[k], bits, quant=quant)
+                   for k in range(nframes)]
+    else:
+        rows, cols = pixel.shape
+        streams = [encode_jpeg_baseline(pixel, bits, quant=quant)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack("<H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack("<H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack("<H", alloc)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack("<H", 0)))
+    if pixel_spacing is not None:
+        parts.append(el(
+            0x0028, 0x0030, b"DS",
+            f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(),
+        ))
+    parts.append(struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF))
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, 0))  # empty BOT
+    for st in streams:
+        st += b"\x00" if len(st) % 2 else b""
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(st)) + st)
+    parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))

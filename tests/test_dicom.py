@@ -43,7 +43,8 @@ def test_rescale_applied(tmp_path, rng):
 
 
 def test_unsupported_syntax_raises(tmp_path):
-    blob = _meta("1.2.840.10008.1.2.4.90")  # J2K (JPEG lossless now decodes)
+    blob = _meta("1.2.840.10008.1.2.4.100")  # MPEG2 (every JPEG family and
+    # RLE now decodes natively, so only the video syntaxes remain unsupported)
     p = str(tmp_path / "bad.dcm")
     with open(p, "wb") as f:
         f.write(blob)

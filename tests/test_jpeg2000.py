@@ -240,7 +240,7 @@ def test_single_frame_j2k_dicom(tmp_path, rng):
     p = str(tmp_path / "s.dcm")
     write_dicom_j2k(p, img)
     np.testing.assert_array_equal(load_dicom_series(p),
-                                  img.astype(np.float32))
+                                  img.astype(np.float32)[None])
 
 
 def test_signed_j2k_pixels(tmp_path, rng):
@@ -248,7 +248,7 @@ def test_signed_j2k_pixels(tmp_path, rng):
     p = str(tmp_path / "s.dcm")
     write_dicom_j2k(p, img, signed=True)
     np.testing.assert_array_equal(load_dicom_series(p),
-                                  img.astype(np.float32))
+                                  img.astype(np.float32)[None])
 
 
 def test_multiframe_j2k_mask(tmp_path):
@@ -278,7 +278,7 @@ def test_jp2_wrapped_dicom_frame(tmp_path, rng):
     p = str(tmp_path / "s.dcm")
     write_dicom_j2k(p, img, jp2=True)
     np.testing.assert_array_equal(load_dicom_series(p),
-                                  img.astype(np.float32))
+                                  img.astype(np.float32)[None])
 
 
 # ---------------------------------------------------------------------------
