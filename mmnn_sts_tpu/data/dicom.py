@@ -5,9 +5,10 @@ Covers the role SimpleITK's C++ GDCM stack plays in the reference
 s3utils.py:244-265 readSitk): read a directory of single-frame .dcm slice
 files, sort them into a volume, and apply rescale slope/intercept.
 
-Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2)
-and Explicit VR Little Endian (1.2.840.10008.1.2.1) with uncompressed
-8/16-bit pixel data — the common export format for the MRI/DicomRT data the
+Supported transfer syntaxes: Implicit/Explicit VR Little Endian
+(1.2.840.10008.1.2/.1), Deflated Explicit VR (.1.99), and the retired
+Explicit VR Big Endian (1.2.840.10008.1.2.2) with uncompressed 8/16-bit
+pixel data — the common export formats for the MRI/DicomRT data the
 reference handles — plus the compressed syntaxes JPEG Lossless process 14
 (data/jpeg_lossless.py), RLE (data/dicom_rle.py), JPEG-LS lossless /
 near-lossless (data/jpeg_ls.py), JPEG 2000 (data/jpeg2000.py; lossless
@@ -31,6 +32,11 @@ import numpy as np
 
 IMPLICIT_LE = "1.2.840.10008.1.2"
 EXPLICIT_LE = "1.2.840.10008.1.2.1"
+# Deflated Explicit VR LE (PS3.5 A.5): the dataset after the meta group is
+# one raw-deflate stream. Explicit VR Big Endian is retired but persists in
+# PACS archives; GDCM read both for the reference.
+DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+EXPLICIT_BE = "1.2.840.10008.1.2.2"
 # JPEG Lossless (T.81 process 14): .57 = any selection value, .70 = the
 # first-order-prediction (SV1) profile — the dominant compressed MRI export.
 # Decoded by data/jpeg_lossless.py (python) or the native fast path.
@@ -120,25 +126,26 @@ class SeriesGeometry:
         )
 
 
-def _parse_elements(buf: bytes, offset: int, explicit: bool, stop_at_pixels=True):
+def _parse_elements(buf: bytes, offset: int, explicit: bool,
+                    stop_at_pixels=True, endian: str = "<"):
     """Yield (group, element, value_bytes) until exhaustion."""
     n = len(buf)
     while offset + 8 <= n:
-        group, element = struct.unpack_from("<HH", buf, offset)
+        group, element = struct.unpack_from(endian + "HH", buf, offset)
         offset += 4
         if explicit or group == 0x0002:
             vr = buf[offset : offset + 2]
             if vr in _LONG_VRS:
-                (length,) = struct.unpack_from("<I", buf, offset + 4)
+                (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
                 offset += 8
             elif vr.isalpha() and vr.isupper():
-                (length,) = struct.unpack_from("<H", buf, offset + 2)
+                (length,) = struct.unpack_from(endian + "H", buf, offset + 2)
                 offset += 4
             else:  # implicit element inside an explicit stream (rare)
-                (length,) = struct.unpack_from("<I", buf, offset - 4 + 4)
+                (length,) = struct.unpack_from(endian + "I", buf, offset)
                 offset += 4
         else:
-            (length,) = struct.unpack_from("<I", buf, offset)
+            (length,) = struct.unpack_from(endian + "I", buf, offset)
             offset += 4
         if length == 0xFFFFFFFF:
             if (group, element) == (0x7FE0, 0x0010):
@@ -216,27 +223,37 @@ def read_dicom_file(path: str) -> DicomSlice:
     with open(path, "rb") as f:
         buf = f.read()
     syntax, offset = _read_meta(buf)
-    if syntax not in (IMPLICIT_LE, EXPLICIT_LE) and \
-            syntax not in _COMPRESSED_SYNTAXES:
+    if syntax not in (IMPLICIT_LE, EXPLICIT_LE, DEFLATED_LE, EXPLICIT_BE) \
+            and syntax not in _COMPRESSED_SYNTAXES:
         raise ValueError(
             f"{path}: unsupported transfer syntax {syntax} (supported: "
-            "uncompressed LE, JPEG Lossless process 14, JPEG-LS, JPEG 2000, "
-            "RLE Lossless, and lossy JPEG baseline/extended; convert other "
-            "exports to one of those or NIfTI)"
+            "uncompressed LE/BE/deflated, JPEG Lossless process 14, "
+            "JPEG-LS, JPEG 2000, RLE Lossless, and lossy JPEG "
+            "baseline/extended; convert other exports to one of those "
+            "or NIfTI)"
         )
     explicit = syntax != IMPLICIT_LE  # all encapsulated syntaxes are explicit
+    if syntax == DEFLATED_LE:
+        import zlib
+
+        # the dataset after the meta group is one raw-deflate stream
+        buf = zlib.decompress(buf[offset:], -15)
+        offset = 0
+    endian = ">" if syntax == EXPLICIT_BE else "<"
+    us = endian + "H"
 
     s = DicomSlice(transfer_syntax=syntax)
-    for group, element, value in _parse_elements(buf, offset, explicit):
+    for group, element, value in _parse_elements(buf, offset, explicit,
+                                                 endian=endian):
         tag = (group, element)
         if tag == (0x0028, 0x0010):
-            s.rows = struct.unpack("<H", value[:2])[0]
+            s.rows = struct.unpack(us, value[:2])[0]
         elif tag == (0x0028, 0x0011):
-            s.cols = struct.unpack("<H", value[:2])[0]
+            s.cols = struct.unpack(us, value[:2])[0]
         elif tag == (0x0028, 0x0100):
-            s.bits_allocated = struct.unpack("<H", value[:2])[0]
+            s.bits_allocated = struct.unpack(us, value[:2])[0]
         elif tag == (0x0028, 0x0103):
-            s.pixel_representation = struct.unpack("<H", value[:2])[0]
+            s.pixel_representation = struct.unpack(us, value[:2])[0]
         elif tag == (0x0028, 0x1052):
             s.rescale_intercept = float(value.decode("ascii", "ignore").strip() or 0)
         elif tag == (0x0028, 0x1053):
@@ -392,7 +409,9 @@ def _slice_array(s: DicomSlice) -> np.ndarray:
             arr = arr[0]
     else:
         if s.bits_allocated == 16:
-            dtype = np.int16 if s.pixel_representation else np.uint16
+            be = s.transfer_syntax == EXPLICIT_BE
+            dtype = np.dtype((">" if be else "<")
+                             + ("i2" if s.pixel_representation else "u2"))
         elif s.bits_allocated == 8:
             dtype = np.int8 if s.pixel_representation else np.uint8
         else:

@@ -486,3 +486,64 @@ def write_dicom_jpeg_baseline(path, pixel: np.ndarray, instance=1, z=0.0,
     parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
     with open(path, "wb") as f:
         f.write(b"".join(parts))
+
+
+def write_dicom_deflated(path, pixel: np.ndarray, instance=1, z=0.0,
+                         pixel_spacing=None):
+    """A Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) .dcm file: the
+    dataset after the meta group is one raw-deflate stream (PS3.5 A.5)."""
+    import zlib
+
+    from mmnn_sts_tpu.data.dicom import DEFLATED_LE
+
+    rows, cols = pixel.shape
+    el = dicom_el_explicit
+    ds = [
+        el(0x0020, 0x0013, b"IS", str(instance).encode()),
+        el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()),
+        el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"),
+        el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+    ]
+    if pixel_spacing is not None:
+        ds.append(el(0x0028, 0x0030, b"DS",
+                     f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode()))
+    ds.append(el(0x7FE0, 0x0010, b"OW", pixel.astype("<i2").tobytes()))
+    comp = zlib.compressobj(wbits=-15)
+    deflated = comp.compress(b"".join(ds)) + comp.flush()
+    with open(path, "wb") as f:
+        f.write(dicom_meta(DEFLATED_LE) + deflated)
+
+
+def _dicom_el_explicit_be(group, element, vr, value: bytes) -> bytes:
+    if vr in (b"OB", b"OW", b"UT", b"UN"):
+        return struct.pack(">HH2sHI", group, element, vr, 0,
+                           len(value)) + value
+    return struct.pack(">HH2sH", group, element, vr, len(value)) + value
+
+
+def write_dicom_big_endian(path, pixel: np.ndarray, instance=1, z=0.0,
+                           pixel_spacing=None):
+    """A retired Explicit VR Big Endian (1.2.840.10008.1.2.2) .dcm file —
+    big-endian tags, lengths, US values, and 16-bit pixel words (the meta
+    group itself stays little-endian per PS3.5 7.3)."""
+    from mmnn_sts_tpu.data.dicom import EXPLICIT_BE
+
+    rows, cols = pixel.shape
+    el = _dicom_el_explicit_be
+    parts = [dicom_meta(EXPLICIT_BE)]
+    parts.append(el(0x0020, 0x0013, b"IS", str(instance).encode()))
+    parts.append(el(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()))
+    parts.append(el(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    parts.append(el(0x0028, 0x0010, b"US", struct.pack(">H", rows)))
+    parts.append(el(0x0028, 0x0011, b"US", struct.pack(">H", cols)))
+    parts.append(el(0x0028, 0x0100, b"US", struct.pack(">H", 16)))
+    parts.append(el(0x0028, 0x0103, b"US", struct.pack(">H", 1)))
+    if pixel_spacing is not None:
+        parts.append(el(0x0028, 0x0030, b"DS",
+                        f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode()))
+    parts.append(el(0x7FE0, 0x0010, b"OW", pixel.astype(">i2").tobytes()))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))

@@ -203,3 +203,59 @@ def test_load_dicom_pair_uses_physical_space(tmp_path, rng):
     image, bmask = _load_dicom_pair(rec)
     assert bmask[5].min() == 1.0
     assert bmask[:5].max() == 0.0
+
+
+def test_deflated_explicit_vr(tmp_path):
+    """1.2.840.10008.1.2.1.99: the post-meta dataset is one raw-deflate
+    stream (PS3.5 A.5); GDCM read these for the reference."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from fixtures import write_dicom_deflated
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(-1000, 3000, size=(14, 18)).astype(np.int16)
+    p = str(tmp_path / "d.dcm")
+    write_dicom_deflated(p, img)
+    s = read_dicom_file(p)
+    assert s.rows == 14 and s.cols == 18
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32)[None])
+
+
+def test_explicit_vr_big_endian(tmp_path):
+    """The retired big-endian syntax: tags, lengths, US values, and pixel
+    words are all byte-swapped; the meta group stays little-endian."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from fixtures import write_dicom_big_endian
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(-1000, 3000, size=(12, 16)).astype(np.int16)
+    p = str(tmp_path / "b.dcm")
+    write_dicom_big_endian(p, img)
+    s = read_dicom_file(p)
+    assert s.rows == 12 and s.cols == 16
+    np.testing.assert_array_equal(load_dicom_series(p),
+                                  img.astype(np.float32)[None])
+
+
+def test_deflated_series_sorts_by_position(tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from fixtures import write_dicom_deflated
+
+    rng = np.random.default_rng(5)
+    vol = rng.integers(0, 2000, size=(4, 10, 12)).astype(np.int16)
+    d = tmp_path / "ser"
+    d.mkdir()
+    for k in range(4):
+        write_dicom_deflated(str(d / f"s{k}.dcm"), vol[k], instance=k + 1,
+                             z=5.0 * (3 - k))  # reversed file order
+    out = np.asarray(load_dicom_series(str(d)))
+    np.testing.assert_array_equal(out, vol[::-1].astype(np.float32))
