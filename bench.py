@@ -88,7 +88,9 @@ def main():
     key = jax.random.key(0)
 
     def step(st, k):
-        return survival_train_superstep(st, batch, events, durations, k, blend=True)
+        return survival_train_superstep(st, batch, events, durations, k,
+                                        blend=True,
+                                        group=cfg.tpu.microbatch_group)
 
     # Warmup / compile
     state, aux = step(state, key)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--batches", type=int, nargs="*",
                     default=[4, 8, 16, 32, 64])
+    # microbatch grouping (TPU.microbatch_group): one row per value, at the
+    # production micro-batch — semantics-preserving, so this is the sweep
+    # axis that matters for the shipped configuration
+    ap.add_argument("--groups", type=int, nargs="*", default=[1])
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,7 @@ def main():
 
     rows = []
     a, s = args.accum, 64
-    for b in args.batches:
+    for b, g in [(b, g) for b in args.batches for g in args.groups]:
         rng = np.random.default_rng(0)
         batch = {
             "image": jnp.asarray(
@@ -75,7 +79,7 @@ def main():
 
         def step(st, k):
             return survival_train_superstep(
-                st, batch, events, durations, k, blend=True
+                st, batch, events, durations, k, blend=True, group=g
             )
 
         key = jax.random.key(0)
@@ -86,7 +90,7 @@ def main():
         try:
             lowered = jax.jit(
                 lambda st, k: survival_train_superstep(
-                    st, batch, events, durations, k, blend=True
+                    st, batch, events, durations, k, blend=True, group=g
                 )
             ).lower(state, key)
             flops = float(lowered.compile().cost_analysis()["flops"])
@@ -108,6 +112,7 @@ def main():
         rows.append(
             {
                 "micro_batch": b,
+                "group": g,
                 "superbatch_volumes": volumes,
                 "step_ms": round(dt * 1e3, 2),
                 "ms_per_volume": round(dt * 1e3 / volumes, 3),

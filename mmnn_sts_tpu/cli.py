@@ -285,6 +285,7 @@ def main(argv=None) -> int:
         ties=hp.cox_ties,
         eval_chunk=cfg.tpu.eval_chunk_size,
         fused_epoch=cfg.tpu.fused_epoch,
+        microbatch_group=cfg.tpu.microbatch_group,
     )
 
     if args.resume and args.checkpoint_dir:

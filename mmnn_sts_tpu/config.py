@@ -139,6 +139,19 @@ class TPUConfig:
     # single-chip dev environment executes that program pathologically
     # (~2.5 s/epoch vs ~20 ms for per-superstep dispatch — docs/PERF.md).
     fused_epoch: bool = False
+    # number of gradient-accumulation microbatches executed as ONE vmapped
+    # program per scan iteration (train/steps._survival_superstep_body).
+    # Training semantics are preserved at any value (per-microbatch BN
+    # statistics, per-microbatch Cox losses, per-microbatch RNG streams,
+    # sequential running-stat EMA order — equivalence-tested in
+    # tests/test_steps.py); only throughput changes. Ships at 1: on v5e the
+    # grouped program is a measured ~17% REGRESSION (111 -> 129-131 ms/
+    # superstep at group 2/4/8) because keeping per-microbatch gradients
+    # separate lowers the weight-grads to batch-group convolutions whose
+    # HLO FLOPs scale linearly with the group — see docs/PERF.md
+    # "Grouped microbatches". Must divide the accumulation count
+    # (super_batch/batch_size) or it falls back to 1.
+    microbatch_group: int = 1
     debug_nans: bool = False
     profile_dir: str = ""
     # Pallas fused BN+ReLU+1x1conv in DenseNet bottlenecks (perf option;

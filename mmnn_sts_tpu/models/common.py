@@ -14,6 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Running-stat decay shared by every batch-stats-owning module in this
+# package (torch BatchNorm default momentum=0.1, i.e. decay 0.9). The grouped
+# superstep (train/steps.py) folds per-microbatch EMA updates in closed form
+# and relies on this being THE momentum everywhere.
+BN_MOMENTUM = 0.9
+
 # torch kaiming_normal_ (fan_in, relu): std = sqrt(2 / fan_in), full normal.
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 # torch kaiming_normal_(mode='fan_out') used by the reference resnet
@@ -36,7 +42,7 @@ class _TorchSemanticsBatchNorm(nn.Module):
     """
 
     use_running_average: bool
-    momentum: float = 0.9  # running-stat decay (torch momentum = 0.1)
+    momentum: float = BN_MOMENTUM  # running-stat decay (torch momentum = 0.1)
     epsilon: float = 1e-5
     dtype: jnp.dtype | None = None
 
@@ -85,7 +91,7 @@ class BatchNorm(nn.Module):
     def __call__(self, x):
         return _TorchSemanticsBatchNorm(
             use_running_average=self.use_running_average,
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype,
             name="BatchNorm_0",

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import (
+    BN_MOMENTUM,
     BatchNorm,
     ChannelDropout,
     avg_pool,
@@ -164,8 +165,9 @@ class FusedBottleneck(nn.Module):
             mean = jnp.mean(x32, axis=axes)
             var = jnp.var(x32, axis=axes)
             if not self.is_initializing():
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+                m = BN_MOMENTUM
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
         else:
             mean, var = ra_mean.value, ra_var.value
         dtype = self.dtype or x.dtype

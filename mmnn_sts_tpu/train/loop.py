@@ -72,6 +72,9 @@ class LoopConfig:
     eval_chunk: int = 0
     # whole-epoch-as-one-XLA-program (TPU.fused_epoch); see config.py
     fused_epoch: bool = False
+    # microbatches per vmapped group inside a superstep
+    # (TPU.microbatch_group; semantics-preserving — see train/steps.py)
+    microbatch_group: int = 1
 
 
 @dataclass
@@ -201,6 +204,7 @@ def train_survival(
                     ties=cfg.ties,
                     with_val=fuse_val and do_val,
                     data_axis=_data_axis(mesh, cfg.batch_size),
+                    group=cfg.microbatch_group,
                 )
             res = jax.device_get(out)
             epoch_loss = float(np.sum(res["loss"]))
@@ -225,6 +229,7 @@ def train_survival(
                     blend=cfg.blend,
                     augment=cfg.augment,
                     ties=cfg.ties,
+                    group=cfg.microbatch_group,
                 )
                 step_losses.append(aux["loss"])
                 step_preds.append(aux["preds"])

@@ -79,6 +79,37 @@ def _tree_zeros_like(t):
     return jax.tree.map(jnp.zeros_like, t)
 
 
+def _ordered_ema_merge(old_bs, stacked_bs, momentum: float):
+    """Fold G per-microbatch BatchNorm running-stat updates computed in
+    PARALLEL (each from the same pre-group value `old`) into the value
+    sequential microbatch processing produces.
+
+    Each parallel update is mut_g = m*old + (1-m)*stat_g. Applying the G
+    updates in order gives
+        new = m^G old + sum_g m^(G-1-g) (1-m) stat_g
+            = m^G old + sum_g m^(G-1-g) (mut_g - m*old).
+    Exact (up to f32 reassociation) because every batch-stats-owning module
+    in this package shares models/common.BN_MOMENTUM.
+    """
+
+    def merge(old, muts):
+        g = muts.shape[0]
+        coeff = momentum ** jnp.arange(g - 1, -1, -1, dtype=old.dtype)
+        coeff = coeff.reshape((g,) + (1,) * old.ndim)
+        return (momentum ** g) * old + jnp.sum(
+            coeff * (muts - momentum * old), axis=0
+        )
+
+    return jax.tree.map(merge, old_bs, stacked_bs)
+
+
+def _group_microbatches(tree, group: int):
+    """Reshape (A, B, ...) leaves to (A//group, group, B, ...)."""
+    return jax.tree.map(
+        lambda x: x.reshape((x.shape[0] // group, group) + x.shape[1:]), tree
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survival
 # ---------------------------------------------------------------------------
@@ -93,10 +124,35 @@ def _survival_superstep_body(
     blend: bool,
     augment: bool,
     ties: str,
+    group: int = 1,
 ):
-    """One optimizer update over A accumulated microbatches (traceable)."""
+    """One optimizer update over A accumulated microbatches (traceable).
+
+    group > 1 executes `group` microbatches at a time as ONE vmapped
+    program (a lax.scan over A/group iterations): within a superstep the
+    only cross-microbatch dependency is the BatchNorm running-stat EMA
+    (training-mode normalization uses the microbatch's own statistics, and
+    parameters don't change until the optimizer step), so microbatches can
+    run in parallel — per-microbatch BN batch statistics, per-microbatch
+    Cox losses, and the per-microbatch augment/dropout RNG keys are all
+    BIT-IDENTICAL to the sequential layout, and the running-stat EMA is
+    folded in its sequential order in closed form (_ordered_ema_merge).
+    The only numerical difference vs group=1 is the gradient-accumulation
+    summation order. Measured on v5e this is a ~17% REGRESSION at any
+    group (docs/PERF.md "Grouped microbatches"): the per-group gradient
+    separation lowers the weight-grads to batch-group convolutions whose
+    cost scales with the group, defeating XLA's fused accumulation — the
+    capability ships OFF (TPU.microbatch_group=1) with the measurement
+    recorded; revisit on hardware where small-batch convs underutilize
+    the MXU more severely.
+    """
+    from ..models.common import BN_MOMENTUM
+
     num_micro = events.shape[0]
     keys = jax.random.split(key, num_micro * 2).reshape(num_micro, 2)
+    group = max(1, min(group, num_micro))
+    if num_micro % group:
+        group = 1  # fall back rather than change microbatch boundaries
 
     def loss_fn(params, batch_stats, mb_inputs, mb_e, mb_d, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -116,25 +172,59 @@ def _survival_superstep_body(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def micro(carry, xs):
-        batch_stats, grad_accum, loss_sum = carry
-        mb_inputs, mb_e, mb_d, ks = xs
+    def one_micro(batch_stats, mb_inputs, mb_e, mb_d, ks):
         mb_inputs = _augment_inputs(mb_inputs, ks[0], train=augment)
         (loss, (new_bs, out)), grads = grad_fn(
             state.params, batch_stats, mb_inputs, mb_e, mb_d, ks[1]
         )
-        return (new_bs, _tree_add(grad_accum, grads), loss_sum + loss), out
+        return loss, new_bs, out, grads
 
-    init = (state.batch_stats, _tree_zeros_like(state.params), jnp.zeros(()))
-    (new_bs, grads, loss_sum), outs = jax.lax.scan(
-        micro, init, (inputs, events, durations, keys)
-    )
+    if group == 1:
+        def micro(carry, xs):
+            batch_stats, grad_accum, loss_sum = carry
+            loss, new_bs, out, grads = one_micro(batch_stats, *xs)
+            return (new_bs, _tree_add(grad_accum, grads), loss_sum + loss), out
+
+        init = (state.batch_stats, _tree_zeros_like(state.params),
+                jnp.zeros(()))
+        (new_bs, grads, loss_sum), outs = jax.lax.scan(
+            micro, init, (inputs, events, durations, keys)
+        )
+    else:
+        def micro_group(carry, xs):
+            batch_stats, grad_accum, loss_sum = carry
+            g_inputs, g_e, g_d, g_ks = xs  # leaves (group, B, ...)
+            losses, bs_g, outs, grads_g = jax.vmap(
+                one_micro, in_axes=(None, 0, 0, 0, 0)
+            )(batch_stats, g_inputs, g_e, g_d, g_ks)
+            new_bs = _ordered_ema_merge(batch_stats, bs_g, BN_MOMENTUM)
+            grads = jax.tree.map(
+                lambda a, b: a + jnp.sum(b, axis=0), grad_accum, grads_g
+            )
+            return (new_bs, grads, loss_sum + jnp.sum(losses)), outs
+
+        init = (state.batch_stats, _tree_zeros_like(state.params),
+                jnp.zeros(()))
+        (new_bs, grads, loss_sum), outs = jax.lax.scan(
+            micro_group,
+            init,
+            (
+                _group_microbatches(inputs, group),
+                _group_microbatches(events, group),
+                _group_microbatches(durations, group),
+                keys.reshape(num_micro // group, group, 2),
+            ),
+        )
+        # (A/group, group, [K,] B, C) -> (A, [K,] B, C), preserving order
+        outs = jax.tree.map(
+            lambda x: x.reshape((num_micro,) + x.shape[2:]), outs
+        )
 
     new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
     return new_state, {"loss": loss_sum, "preds": outs}
 
 
-@partial(jax.jit, static_argnames=("blend", "augment", "ties"),
+@partial(jax.jit, static_argnames=("blend", "augment", "ties", "group"),
          donate_argnums=(0,))
 def survival_train_superstep(
     state: TrainState,
@@ -145,16 +235,19 @@ def survival_train_superstep(
     blend: bool = False,
     augment: bool = True,
     ties: str = "breslow",
+    group: int = 1,
 ):
     """One jitted optimizer update (used by the streaming/host path and
     tests; device-resident epochs use survival_train_epoch).
 
     Returns (new_state, aux) where aux carries the summed loss and the raw
     per-microbatch head predictions (A, [K,] B, C) for epoch-level C-index
-    and gradient-blending statistics.
+    and gradient-blending statistics. `group` executes that many
+    microbatches as one vmapped program (semantics preserved — see
+    _survival_superstep_body).
     """
     return _survival_superstep_body(
-        state, inputs, events, durations, key, blend, augment, ties
+        state, inputs, events, durations, key, blend, augment, ties, group
     )
 
 
@@ -172,7 +265,8 @@ def _survival_eval_body(state, inputs, events, durations, blend, ties):
 
 
 @partial(jax.jit,
-         static_argnames=("blend", "augment", "ties", "with_val", "data_axis"),
+         static_argnames=("blend", "augment", "ties", "with_val", "data_axis",
+                          "group"),
          donate_argnums=(0,))
 def survival_train_epoch(
     state: TrainState,
@@ -189,6 +283,7 @@ def survival_train_epoch(
     ties: str = "breslow",
     with_val: bool = False,
     data_axis: str | None = None,
+    group: int = 1,
 ):
     """A FULL training epoch (+ optional fused validation) as one XLA
     program: lax.scan over optimizer supersteps, each gathering its
@@ -222,7 +317,7 @@ def survival_train_epoch(
             st, mb_inputs,
             _shard_batch(events[step_idx], data_axis, 1),
             _shard_batch(durations[step_idx], data_axis, 1),
-            k, blend, augment, ties,
+            k, blend, augment, ties, group,
         )
         return st, (aux["loss"], aux["preds"])
 

@@ -191,6 +191,110 @@ def test_bhb10k_import_maps_backbone(tmp_path):
     )
 
 
+def test_ordered_ema_merge_matches_sequential(rng):
+    """Closed-form fold of parallel BN running-stat updates == applying the
+    G per-microbatch EMA updates one after another."""
+    from mmnn_sts_tpu.train.steps import _ordered_ema_merge
+
+    m = 0.9
+    old = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    stats = [jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+             for _ in range(4)]
+    seq = old
+    for s in stats:
+        seq = m * seq + (1 - m) * s
+    muts = jnp.stack([m * old + (1 - m) * s for s in stats])
+    merged = _ordered_ema_merge(old, muts, m)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(seq),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_superstep_matches_sequential(rng, group):
+    """group>1 (vmapped microbatches) reproduces the sequential scan: same
+    parameters, BN running stats (ordered EMA), loss, and per-microbatch
+    predictions. dropout_prob>0 proves the per-microbatch RNG streams are
+    unchanged by the grouping."""
+    model = MLP(in_channels=5, out_channels=2, feature_channels=4,
+                dropout_prob=0.2)
+    x, e, d = _surv_batch(rng, a=4, b=4)
+
+    def run(g):
+        st = create_train_state(model, make_optimizer(1e-2, 2, 2), x[0],
+                                seed=0)
+        return survival_train_superstep(st, x, e, d, jax.random.key(3),
+                                        blend=False, augment=False, group=g)
+
+    st1, aux1 = run(1)
+    st2, aux2 = run(group)
+    assert int(st2.step) == 1  # still ONE optimizer update
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux1["preds"]),
+                               np.asarray(aux2["preds"]),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        st1.params, st2.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        st1.batch_stats, st2.batch_stats,
+    )
+
+
+def test_grouped_superstep_matches_with_augment(rng):
+    """Image path under grouping: the per-sample augmentation keys (split
+    from each microbatch's key) are bit-identical, so augmented training
+    matches the sequential layout too."""
+    from mmnn_sts_tpu.models.tinycnn import TinyCNN
+
+    a, b, s = 2, 2, 16
+    x = jnp.asarray(rng.normal(size=(a, b, s, s, s, 1)).astype(np.float32)) ** 2
+    e = jnp.asarray((rng.random((a, b, 2)) < 0.8).astype(np.float32))
+    d = jnp.asarray(rng.integers(1, 100, size=(a, b, 2)).astype(np.float32))
+    model = TinyCNN(in_channels=1, out_channels=2, feature_channels=4,
+                    dropout_prob=0.2)
+
+    def run(g):
+        st = create_train_state(model, make_optimizer(1e-2, 2, 2), x[0],
+                                seed=0)
+        return survival_train_superstep(st, x, e, d, jax.random.key(5),
+                                        blend=False, augment=True, group=g)
+
+    st1, aux1 = run(1)
+    st2, aux2 = run(2)
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda p, q: np.testing.assert_allclose(p, q, rtol=1e-4, atol=1e-6),
+        st1.params, st2.params,
+    )
+    jax.tree.map(
+        lambda p, q: np.testing.assert_allclose(p, q, rtol=1e-5, atol=1e-6),
+        st1.batch_stats, st2.batch_stats,
+    )
+
+
+def test_grouped_superstep_non_divisible_falls_back(rng):
+    """group that doesn't divide the accumulation count must not change
+    microbatch boundaries — it falls back to sequential execution."""
+    x, e, d = _surv_batch(rng, a=3, b=4)
+    model = MLP(in_channels=5, out_channels=2, feature_channels=4,
+                dropout_prob=0.0)
+
+    def run(g):
+        st = create_train_state(model, make_optimizer(1e-2, 2, 2), x[0],
+                                seed=0)
+        return survival_train_superstep(st, x, e, d, jax.random.key(1),
+                                        blend=False, augment=False, group=g)
+
+    st1, aux1 = run(1)
+    st2, aux2 = run(2)  # 2 does not divide 3
+    assert float(aux1["loss"]) == float(aux2["loss"])
+    jax.tree.map(np.testing.assert_array_equal, st1.params, st2.params)
+
+
 def test_training_is_deterministic_under_seed(rng):
     """Same seed + same data -> bit-identical parameters after 3 supersteps
     (full reproducibility; the reference could not replay runs)."""
