@@ -10,10 +10,12 @@ Design:
   * ONE synthetic multimodal cohort (images + clinical, planted survival
     signal in both modalities), one fixed split.
   * The SAME batch stream: both sides consume EpochBatcher.epoch_indices
-    (deterministic numpy) with the same seed. n_train is chosen divisible
-    by the super-batch so no wrap-padding occurs and the trajectory
-    comparison is exact (the padded-tail deviation is measured separately
-    by run --ragged; see PARITY.md).
+    (deterministic numpy) with the same seed. With --ragged (n_train not
+    divisible by the super-batch) the torch twin trims the wrap-pad to the
+    TRUE ragged batches the reference's loader yields, while the jax side
+    keeps static shapes and masks the pad (train/steps.py) — validating
+    that the masked-tail semantics match the reference exactly
+    (PARITY.md "Ragged last batch").
   * IDENTICAL initial weights: the flax model is initialized, then every
     parameter is copied into the torch twin (conv kernels transposed
     (k,k,k,I,O)->(O,I,k,k,k), dense (I,O)->(O,I)).
@@ -298,6 +300,11 @@ def run_torch(cfg: TwinConfig, data, variables):
                           nesterov=True, weight_decay=1e-4)
     batcher = EpochBatcher(n, cfg.micro_batch, cfg.accum, seed=cfg.seed,
                            two_level=True)
+    # TRUE reference ragged semantics: the torch twin trims the wrap-pad to
+    # the real samples (the reference's loader just yields a smaller last
+    # batch, /root/reference/main.py:445-492); the jax side keeps static
+    # shapes and masks instead (train/steps.py) — the two must agree.
+    pad_mask = batcher.pad_mask()  # (S, A, B) 0/1, pads trailing only
     steps_per_epoch = batcher.steps_per_epoch()
     total = max(steps_per_epoch * cfg.epochs, 4)  # schedule.py clamp
     sched = torch.optim.lr_scheduler.OneCycleLR(
@@ -320,11 +327,14 @@ def run_torch(cfg: TwinConfig, data, variables):
         epoch_preds = []
         model.train()
         w_t = torch.tensor(weights)
-        for step_idx in idx:
+        for s_i, step_idx in enumerate(idx):
             opt.zero_grad()
-            for mb in step_idx:
-                mb = torch.tensor(np.asarray(mb, dtype=np.int64))
-                out = model(img_t[mb], clin_t[mb])  # (3, B, C)
+            for a_i, mb in enumerate(step_idx):
+                valid = pad_mask[s_i, a_i] > 0
+                if not valid.any():
+                    continue  # fully-padded tail microbatch: never ran in ref
+                mb = torch.tensor(np.asarray(mb[valid], dtype=np.int64))
+                out = model(img_t[mb], clin_t[mb])  # (3, B', C)
                 head_losses = torch.stack(
                     [torch_cox_loss(out[k], ev_t[mb], du_t[mb])
                      for k in range(3)]
@@ -336,10 +346,10 @@ def run_torch(cfg: TwinConfig, data, variables):
             hist["lr"].append(float(opt.param_groups[0]["lr"]))
             opt.step()
             sched.step()
-        # (S*A, 3, B, C) -> (3, S*A*B, C) in (s, a, b) sample order —
-        # identical to loop._flatten_epoch_preds — then dedup the wrap-pad
-        arr = np.asarray(epoch_preds)
-        flat = arr.transpose(1, 0, 2, 3).reshape(3, -1, arr.shape[-1])[:, :n]
+        # concat along samples in (s, a, b) order — identical to
+        # loop._flatten_epoch_preds + _dedup_epoch (pads, when any, would be
+        # trailing; ragged microbatches are already trimmed above)
+        flat = np.concatenate(epoch_preds, axis=1)[:, :n]
         flat_order = idx.reshape(-1)[:n]
         hist["train_loss"].append(epoch_loss / n)
 
@@ -524,6 +534,8 @@ def run_torch_class(cfg: TwinConfig, data, variables):
     opt = torch.optim.SGD(model.parameters(), lr=cfg.lr, momentum=0.9,
                           nesterov=True, weight_decay=1e-4)
     batcher = EpochBatcher(n, cfg.micro_batch, 1, seed=cfg.seed)
+    pad_mask = batcher.pad_mask()  # (S, B) — true ragged last batch (see
+    # the survival twin; /root/reference/main.py:205-217 steps per batch)
     steps_per_epoch = batcher.steps_per_epoch()
     total = max(steps_per_epoch * cfg.epochs, 4)
     sched = torch.optim.lr_scheduler.OneCycleLR(
@@ -551,10 +563,11 @@ def run_torch_class(cfg: TwinConfig, data, variables):
         epoch_logits = []
         model.train()
         w_t = torch.tensor(weights)
-        for step_idx in idx:
-            mb = torch.tensor(np.asarray(step_idx, dtype=np.int64))
+        for s_i, step_idx in enumerate(idx):
+            valid = pad_mask[s_i] > 0
+            mb = torch.tensor(np.asarray(step_idx[valid], dtype=np.int64))
             opt.zero_grad()
-            out = model(img_t[mb], clin_t[mb])  # (3, B, C)
+            out = model(img_t[mb], clin_t[mb])  # (3, B', C)
             head_losses = torch.stack(
                 [head_bce_sum(out[k], lbl_t[mb]) for k in range(3)]
             )
@@ -566,8 +579,7 @@ def run_torch_class(cfg: TwinConfig, data, variables):
             opt.step()
             sched.step()
 
-        arr = np.asarray(epoch_logits)  # (S, 3, B, C)
-        flat = arr.transpose(1, 0, 2, 3).reshape(3, -1, arr.shape[-1])[:, :n]
+        flat = np.concatenate(epoch_logits, axis=1)[:, :n]
         flat_order = idx.reshape(-1)[:n]
         tr_labels = labels[flat_order]
         hist["train_loss"].append(epoch_loss / n)
@@ -753,8 +765,9 @@ def main():
     ap.add_argument("--n-train", type=int, default=32)
     ap.add_argument("--size", type=int, default=12)
     ap.add_argument("--ragged", action="store_true",
-                    help="n_train -> n_train - 4: measures the wrap-pad "
-                         "train-dynamics deviation (PARITY.md)")
+                    help="n_train -> n_train - 4: torch runs the TRUE ragged "
+                         "batches, jax the masked wrap-pad — validates the "
+                         "masked-tail semantics (PARITY.md)")
     ap.add_argument("--task", choices=("survival", "classification"),
                     default="survival")
     ap.add_argument("--out", default=None)

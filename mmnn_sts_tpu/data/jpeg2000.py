@@ -920,8 +920,11 @@ def decode_j2k(buf: bytes) -> np.ndarray:
     """Decode a lossless JPEG 2000 codestream (or JP2 file) -> (rows, cols)
     int64 sample values (negative iff the stream is signed)."""
     buf = _strip_jp2(bytes(buf))
-    cp, pos = _parse_main_header(buf, 0)
-    tile = _collect_tile_data(buf, pos)
+    try:
+        cp, pos = _parse_main_header(buf, 0)
+        tile = _collect_tile_data(buf, pos)
+    except IndexError as e:  # truncated codestream: headers run off the end
+        raise ValueError("truncated JPEG 2000 codestream") from e
 
     layout = _band_layout(cp.w, cp.h, cp.levels)
     cbw, cbh = 1 << cp.xcb, 1 << cp.ycb

@@ -10,9 +10,13 @@ tensors) is preserved by construction.
 Batch layout for gradient accumulation: (accum_steps, micro_batch, ...) with
 the micro-batch axis sharded over the mesh 'data' axis. The final, ragged
 super-batch of an epoch is wrap-padded from the epoch's shuffled order so
-every compiled step sees one static shape (deviation from the reference's
-ragged last batch, documented in SURVEY-parity notes; optimizer step count
-per epoch matches ceil(N / SUPER_BATCH)).
+every compiled step sees one static shape; the pad positions are flagged by
+`EpochBatcher.pad_mask` and the padded step runs with MASKED semantics
+(losses, gradients and BatchNorm statistics over valid samples only,
+train/steps.py), reproducing the reference's smaller ragged last batch
+(/root/reference/main.py:445-492) exactly on static shapes. Optimizer step
+count per epoch matches ceil(N / SUPER_BATCH) (the reference steps on the
+last batch of an epoch too, main.py:478-481).
 """
 
 from __future__ import annotations
@@ -123,6 +127,28 @@ class EpochBatcher:
     def steps_per_epoch(self) -> int:
         per_step = self.micro_batch * self.accum_steps
         return int(np.ceil(self.num_samples / per_step))
+
+    @property
+    def ragged(self) -> bool:
+        """True when the last step is wrap-padded (N not a multiple of the
+        step size) and must run with masked semantics (train/steps.py)."""
+        per_step = self.micro_batch * self.accum_steps
+        return self.num_samples % per_step != 0
+
+    def pad_mask(self) -> np.ndarray:
+        """0/1 validity per epoch position, shaped like epoch_indices().
+
+        The pad is always appended after the N real positions (epoch_indices
+        concatenates the shuffled order, then the wrap-pad), so the mask is
+        epoch-independent: 1 for the first N flattened positions, 0 after.
+        Only the LAST step can contain zeros.
+        """
+        per_step = self.micro_batch * self.accum_steps
+        total = self.steps_per_epoch() * per_step
+        m = (np.arange(total) < self.num_samples).astype(np.float32)
+        if self.accum_steps > 1 or self.two_level:
+            return m.reshape(-1, self.accum_steps, self.micro_batch)
+        return m.reshape(-1, self.micro_batch)
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng((self.seed, epoch))

@@ -47,7 +47,15 @@ class _TorchSemanticsBatchNorm(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """mask: optional (B,) 0/1 per-sample validity. When given, batch
+        statistics (and the running-stat update) are computed over valid
+        samples only — so a wrap-padded static-shape batch normalizes
+        EXACTLY like the reference's smaller ragged batch
+        (/root/reference/main.py:445-492: the loader's last batch simply has
+        fewer samples). A fully-masked batch leaves the running stats
+        untouched (the reference never runs such a batch at all).
+        mask=None compiles to the unmasked program (the hot path)."""
         feat = x.shape[-1]
         reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable(
@@ -61,10 +69,47 @@ class _TorchSemanticsBatchNorm(nn.Module):
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif mask is not None:
+            xf = x.astype(jnp.float32)
+            mf = mask.astype(jnp.float32).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+            per_sample = 1
+            for a in reduce_axes[1:]:
+                per_sample *= x.shape[a]
+            n_valid = jnp.sum(mf) * per_sample  # traced scalar
+            denom = jnp.maximum(n_valid, 1.0)
+            any_valid = n_valid > 0
+            mean = jnp.sum(xf * mf, axis=reduce_axes) / denom
+            var = jnp.sum(jnp.square(xf) * mf, axis=reduce_axes) / denom \
+                - jnp.square(mean)
+            # E[x^2]-mean^2 cancels catastrophically when the valid-sample
+            # variance is (near-)zero — a 1-valid-sample 1-D BN is EXACTLY
+            # zero in real arithmetic, and the f32 rounding error (~ulp(x^2),
+            # >> eps for |x|>~100) can land NEGATIVE under XLA's fused
+            # reassociation, making rsqrt(var+eps) NaN (observed: drive run
+            # 2026-08-18, clinical MLP bn_0, |x|~1.3e3). Clamp to >= 0.
+            var = jnp.maximum(var, 0.0)
+            # fully-masked batch: normalize as identity (mean 0, var 1). A
+            # var=0 floor would amplify ~1/sqrt(eps)=316x per BN and
+            # overflow a deep net to inf, turning the masked zero
+            # cotangents into inf*0=NaN weight gradients.
+            mean = jnp.where(any_valid, mean, 0.0)
+            var = jnp.where(any_valid, var, 1.0)
+            if not self.is_initializing():
+                unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = jnp.where(
+                    any_valid, m * ra_mean.value + (1 - m) * mean, ra_mean.value
+                )
+                ra_var.value = jnp.where(
+                    any_valid, m * ra_var.value + (1 - m) * unbiased, ra_var.value
+                )
         else:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            # same cancellation guard as the masked branch: a (near-)constant
+            # feature column can round E[x^2]-mean^2 negative in f32
+            var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 n = 1
                 for a in reduce_axes:
@@ -76,26 +121,42 @@ class _TorchSemanticsBatchNorm(nn.Module):
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(dtype)
+        out = (x.astype(jnp.float32) - mean) * inv + bias
+        if not self.use_running_average and mask is not None:
+            # Zero the MASKED rows. Their values are never consumed (losses
+            # and statistics exclude them), but left alone they are amplified
+            # by rsqrt(eps)~316x at every BN whose valid-sample variance is
+            # degenerate (a 1-valid-sample microbatch has batch var == 0 at
+            # every 1-D BN stage), compounding to ~1e17 after a few stages;
+            # under XLA fusion that overflows to inf and turns the zero
+            # cotangents of masked rows into inf*0=NaN weight gradients
+            # (observed: drive run 2026-08-18, n=17 cohort, microbatch 4).
+            mf2 = mask.astype(jnp.float32).reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 1)
+            )
+            out = out * mf2
+        return out.astype(dtype)
 
 
 class BatchNorm(nn.Module):
     """BatchNorm with torch-default hyperparameters (momentum .1, eps 1e-5)
     and torch-exact running-stat semantics (see _TorchSemanticsBatchNorm).
+    `mask` selects the valid samples of a wrap-padded batch (ragged-tail
+    parity; see _TorchSemanticsBatchNorm.__call__).
     """
 
     use_running_average: bool
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         return _TorchSemanticsBatchNorm(
             use_running_average=self.use_running_average,
             momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype,
             name="BatchNorm_0",
-        )(x)
+        )(x, mask)
 
 
 def max_pool(x, window: int, stride: int, padding: int, spatial_dims: int):

@@ -144,7 +144,7 @@ class FusedBottleneck(nn.Module):
     interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         from ..ops.pallas.fused_dense import bn_relu_conv1x1
 
         cin = x.shape[-1]
@@ -159,7 +159,38 @@ class FusedBottleneck(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((cin,), jnp.float32)
         )
-        if train:
+        if train and sample_mask is not None:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mf = sample_mask.astype(jnp.float32).reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 1)
+            )
+            per_sample = 1
+            for a in axes[1:]:
+                per_sample *= x.shape[a]
+            n_valid = jnp.sum(mf) * per_sample
+            denom = jnp.maximum(n_valid, 1.0)
+            any_valid = n_valid > 0
+            mean = jnp.sum(x32 * mf, axis=axes) / denom
+            var = jnp.sum(jnp.square(x32) * mf, axis=axes) / denom \
+                - jnp.square(mean)
+            # E[x^2]-mean^2 can round NEGATIVE in f32 when the valid-sample
+            # variance is (near-)zero, making rsqrt(var+eps) NaN — same
+            # cancellation guard as models/common.py BatchNorm
+            var = jnp.maximum(var, 0.0)
+            # fully-masked: identity normalization; a var=0 floor would
+            # overflow deep nets to inf (see models/common.py BatchNorm)
+            mean = jnp.where(any_valid, mean, 0.0)
+            var = jnp.where(any_valid, var, 1.0)
+            if not self.is_initializing():
+                m = BN_MOMENTUM
+                ra_mean.value = jnp.where(
+                    any_valid, m * ra_mean.value + (1 - m) * mean, ra_mean.value
+                )
+                ra_var.value = jnp.where(
+                    any_valid, m * ra_var.value + (1 - m) * var, ra_var.value
+                )
+        elif train:
             axes = tuple(range(x.ndim - 1))
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=axes)
@@ -189,19 +220,21 @@ class DenseLayer(nn.Module):
     pallas_interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, gradcam_probe=None):
+    def __call__(self, x, train: bool = False, gradcam_probe=None,
+                 sample_mask=None):
         if self.use_pallas:
             y = FusedBottleneck(
                 self.bn_size * self.growth_rate, dtype=self.dtype,
                 interpret=self.pallas_interpret, name="fused1",
-            )(x, train)
+            )(x, train, sample_mask)
         else:
             y = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                          name="norm1")(x)
+                          name="norm1")(x, sample_mask)
             y = nn.relu(y)
             y = conv(self.bn_size * self.growth_rate, 1, self.spatial_dims,
                      dtype=self.dtype, name="conv1")(y)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm2")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm2")(y, sample_mask)
         y = nn.relu(y)
         y = conv(self.growth_rate, 3, self.spatial_dims, padding=1,
                  dtype=self.dtype, name="conv2")(y)
@@ -225,8 +258,9 @@ class Transition(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm")(x)
+    def __call__(self, x, train: bool = False, sample_mask=None):
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm")(x, sample_mask)
         x = nn.relu(x)
         x = conv(self.out_channels, 1, self.spatial_dims, dtype=self.dtype,
                  name="conv")(x)
@@ -253,11 +287,13 @@ class DenseNet(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
 
-    def backbone(self, x, train: bool = False, gradcam_probe=None):
+    def backbone(self, x, train: bool = False, gradcam_probe=None,
+                 sample_mask=None):
         sd = self.spatial_dims
         x = S2DStemConv(self.init_features, sd, dtype=self.dtype,
                         name="conv0")(x)
-        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm0")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm0")(x, sample_mask)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1, sd)
 
@@ -272,15 +308,15 @@ class DenseNet(nn.Module):
                     use_pallas=self.use_pallas,
                     pallas_interpret=self.pallas_interpret,
                     name=f"block{i + 1}_layer{j + 1}",
-                )(x, train, gradcam_probe if is_target else None)
+                )(x, train, gradcam_probe if is_target else None, sample_mask)
                 if cap is not None:
                     captured = cap
             if i == n_blocks - 1:
                 x = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                              name="norm5")(x)
+                              name="norm5")(x, sample_mask)
             else:
                 x = Transition(sd, x.shape[-1] // 2, dtype=self.dtype,
-                               name=f"transition{i + 1}")(x, train)
+                               name=f"transition{i + 1}")(x, train, sample_mask)
         return x, captured
 
     def features(self, x, train: bool = False):
@@ -306,8 +342,9 @@ class DenseNet(nn.Module):
         return_features: bool = False,
         capture_gradcam: bool = False,
         gradcam_probe=None,
+        sample_mask=None,
     ):
-        x, captured = self.backbone(x, train, gradcam_probe)
+        x, captured = self.backbone(x, train, gradcam_probe, sample_mask)
         feats = self.features(x, train)
         out = feats if return_features else self.class_layers(feats)
         if capture_gradcam:

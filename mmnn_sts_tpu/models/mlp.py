@@ -25,28 +25,30 @@ class MLP(nn.Module):
     dropout_prob: float = 0.2
     dtype: jnp.dtype | None = None
 
-    def _stage(self, x, width, train: bool, name: str):
+    def _stage(self, x, width, train: bool, name: str, sample_mask=None):
         x = nn.Dense(width, dtype=self.dtype, name=f"dense_{name}")(x)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                      name=f"bn_{name}")(x)
+                      name=f"bn_{name}")(x, sample_mask)
         x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
         return nn.relu(x)
 
-    def backbone(self, x, train: bool = False):
+    def backbone(self, x, train: bool = False, sample_mask=None):
         for i, width in enumerate([32, 16, 8, 8, 8]):
-            x = self._stage(x, width, train, str(i))
+            x = self._stage(x, width, train, str(i), sample_mask)
         return x
 
-    def features(self, x, train: bool = False):
-        return self._stage(x, self.feature_channels, train, "features")
+    def features(self, x, train: bool = False, sample_mask=None):
+        return self._stage(x, self.feature_channels, train, "features",
+                           sample_mask)
 
     def output_head(self, x):
         return nn.Dense(self.out_channels, dtype=self.dtype, name="out")(x)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_features: bool = False):
-        x = self.backbone(x, train)
-        feats = self.features(x, train)
+    def __call__(self, x, train: bool = False, return_features: bool = False,
+                 sample_mask=None):
+        x = self.backbone(x, train, sample_mask)
+        feats = self.features(x, train, sample_mask)
         if return_features:
             return feats
         return self.output_head(feats)

@@ -43,6 +43,7 @@ class MultiModalModel(nn.Module):
         train: bool = False,
         capture_gradcam: bool = False,
         gradcam_probe=None,
+        sample_mask=None,
     ):
         image_data = inputs["image"]
         clinical_data = inputs["clinical"]
@@ -55,10 +56,12 @@ class MultiModalModel(nn.Module):
                 return_features=True,
                 capture_gradcam=True,
                 gradcam_probe=gradcam_probe,
+                sample_mask=sample_mask,
             )
         else:
             image_features = self.image_model(
-                image_data, train=train, return_features=True
+                image_data, train=train, return_features=True,
+                sample_mask=sample_mask,
             )
         clinical_features = MLP(
             in_channels=self.num_clinical_inputs,
@@ -67,7 +70,8 @@ class MultiModalModel(nn.Module):
             dropout_prob=self.clinical_dropout_prob,
             dtype=self.dtype,
             name="clinical_model",
-        )(clinical_data, train=train, return_features=True)
+        )(clinical_data, train=train, return_features=True,
+          sample_mask=sample_mask)
 
         features = jnp.concatenate([image_features, clinical_features], axis=1)
         out = nn.Dense(self.num_classes, dtype=self.dtype, name="output_head")(features)

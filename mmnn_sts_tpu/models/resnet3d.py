@@ -23,21 +23,21 @@ class BasicBlock3D(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         residual = x
         y = conv(self.planes, 3, 3, stride=self.stride, padding=1,
                  dtype=self.dtype, kernel_init=kaiming_normal_out, name="conv1")(x)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y, sample_mask)
         y = nn.relu(y)
         y = conv(self.planes, 3, 3, padding=1, dtype=self.dtype,
                  kernel_init=kaiming_normal_out, name="conv2")(y)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y, sample_mask)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = conv(self.planes, 1, 3, stride=self.stride,
                             dtype=self.dtype, kernel_init=kaiming_normal_out,
                             name="downsample_conv")(x)
             residual = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                                 name="downsample_bn")(residual)
+                                 name="downsample_bn")(residual, sample_mask)
         return nn.relu(y + residual)
 
 
@@ -47,12 +47,12 @@ class ResNet3D18(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         x = conv(64, (1, 7, 7), 3, stride=(1, 2, 2),
                  padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype,
                  kernel_init=kaiming_normal_out, name="stem_conv")(x)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                      name="stem_bn")(x)
+                      name="stem_bn")(x, sample_mask)
         x = nn.relu(x)
 
         drop = nn.Dropout(self.dropout_prob, deterministic=not train)
@@ -61,7 +61,7 @@ class ResNet3D18(nn.Module):
         ):
             for b in range(blocks):
                 x = BasicBlock3D(planes, stride if b == 0 else 1, dtype=self.dtype,
-                                 name=f"layer{stage + 1}_block{b + 1}")(x, train)
+                                 name=f"layer{stage + 1}_block{b + 1}")(x, train, sample_mask)
             x = drop(x)
 
         x = global_avg_pool(x, 3)

@@ -41,25 +41,25 @@ class SEBottleneck(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         sd = self.spatial_dims
         out_c = self.planes * self.expansion
         residual = x
         y = conv(self.planes, 1, sd, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y, sample_mask)
         y = nn.relu(y)
         y = conv(self.planes, 3, sd, stride=self.stride, padding=1,
                  dtype=self.dtype, name="conv2")(y)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y, sample_mask)
         y = nn.relu(y)
         y = conv(out_c, 1, sd, dtype=self.dtype, name="conv3")(y)
-        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(y)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(y, sample_mask)
         y = SEBlock(self.reduction, dtype=self.dtype, name="se")(y)
         if self.stride != 1 or x.shape[-1] != out_c:
             residual = conv(out_c, 1, sd, stride=self.stride, dtype=self.dtype,
                             name="downsample_conv")(x)
             residual = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                                 name="downsample_bn")(residual)
+                                 name="downsample_bn")(residual, sample_mask)
         return nn.relu(y + residual)
 
 
@@ -71,10 +71,10 @@ class SEResNet50(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         sd = self.spatial_dims
         x = conv(64, 7, sd, stride=2, padding=3, dtype=self.dtype, name="conv0")(x)
-        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn0")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn0")(x, sample_mask)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1, sd)
 
@@ -85,7 +85,7 @@ class SEResNet50(nn.Module):
                 x = SEBottleneck(
                     planes, sd, stride if b == 0 else 1, dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b + 1}",
-                )(x, train)
+                )(x, train, sample_mask)
 
         x = global_avg_pool(x, sd)
         if self.dropout_prob:

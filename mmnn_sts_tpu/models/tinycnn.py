@@ -24,7 +24,8 @@ class TinyCNN(nn.Module):
     dropout_prob: float = 0.5
     dtype: jnp.dtype | None = None
 
-    def backbone(self, x, train: bool = False, gradcam_probe=None):
+    def backbone(self, x, train: bool = False, gradcam_probe=None,
+                 sample_mask=None):
         captured = None
         widths = [64, 32, 32, 16, 16]
         for i, w in enumerate(widths):
@@ -35,7 +36,7 @@ class TinyCNN(nn.Module):
                     x = x + gradcam_probe
                 captured = x
             x = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                          name=f"bn{i + 1}")(x)
+                          name=f"bn{i + 1}")(x, sample_mask)
             x = ChannelDropout(self.dropout_prob, self.spatial_dims,
                                deterministic=not train)(x)
         return x, captured
@@ -60,8 +61,9 @@ class TinyCNN(nn.Module):
         return_features: bool = False,
         capture_gradcam: bool = False,
         gradcam_probe=None,
+        sample_mask=None,
     ):
-        x, captured = self.backbone(x, train, gradcam_probe)
+        x, captured = self.backbone(x, train, gradcam_probe, sample_mask)
         feats = self.features(x, train)
         out = feats if return_features else self.class_layers(feats)
         if capture_gradcam:

@@ -54,22 +54,24 @@ def blend_init(num_heads: int) -> BlendState:
     )
 
 
-def surv_head_losses(preds, events, durations, ties: str = "breslow") -> jax.Array:
+def surv_head_losses(preds, events, durations, ties: str = "breslow",
+                     mask=None) -> jax.Array:
     """Per-head summed multi-target Cox losses.
 
     Args:
       preds: (K, N, C) stacked head predictions.
       events, durations: (N, C).
       ties: "breslow" | "efron" (see ops/cox.py).
+      mask: optional (N,) sample validity (ragged-tail parity, ops/cox.py).
     Returns: (K,) loss per head.
     """
     return jax.vmap(
-        lambda p: multi_cox_loss(p, events, durations, ties=ties)
+        lambda p: multi_cox_loss(p, events, durations, ties=ties, mask=mask)
     )(preds)
 
 
 def blended_surv_loss(state: BlendState, preds, events, durations,
-                      ties: str = "breslow"):
+                      ties: str = "breslow", mask=None):
     """Weighted survival loss across heads.
 
     Parity: GradientBlender.computeLossSurv (GradientBlender.py:181-205) —
@@ -77,27 +79,30 @@ def blended_surv_loss(state: BlendState, preds, events, durations,
     the unweighted multimodal-head loss used for best-model selection
     (/root/reference/main.py:572-577).
     """
-    head_losses = surv_head_losses(preds, events, durations, ties)
+    head_losses = surv_head_losses(preds, events, durations, ties, mask)
     total = jnp.sum(jax.lax.stop_gradient(state.weights) * head_losses)
     return total, head_losses[0]
 
 
-def class_head_losses(preds, targets, pos_weight=None) -> jax.Array:
+def class_head_losses(preds, targets, pos_weight=None, mask=None) -> jax.Array:
     """Per-head summed BCE-with-logits losses. preds: (K, N, C)."""
     def one_head(p):
-        return bce_with_logits(p, targets, pos_weight=pos_weight, reduction="sum")
+        return bce_with_logits(p, targets, pos_weight=pos_weight,
+                               reduction="sum", mask=mask)
 
     return jax.vmap(one_head)(preds)
 
 
-def blended_class_loss(state: BlendState, preds, targets, pos_weight=None):
+def blended_class_loss(state: BlendState, preds, targets, pos_weight=None,
+                       mask=None):
     """Weighted classification loss across heads.
 
     Parity: GradientBlender.computeLossClassification
     (GradientBlender.py:150-179) with reduction='sum'.
     Returns (total, head_losses[0]).
     """
-    head_losses = class_head_losses(preds, targets, pos_weight=pos_weight)
+    head_losses = class_head_losses(preds, targets, pos_weight=pos_weight,
+                                    mask=mask)
     total = jnp.sum(jax.lax.stop_gradient(state.weights) * head_losses)
     return total, head_losses[0]
 

@@ -35,6 +35,7 @@ def cox_ph_loss(
     events: jax.Array,
     durations: jax.Array,
     eps: float = 1e-7,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Negative Cox partial log-likelihood for one target column.
 
@@ -43,6 +44,11 @@ def cox_ph_loss(
       events: (N,) 0/1 event indicators (1 = event observed / uncensored).
       durations: (N,) follow-up durations.
       eps: numerical floor inside the log-cumsum-exp.
+      mask: optional (N,) 0/1 validity — masked samples are EXCLUDED from
+        both risk sets and event terms, so the loss equals the loss of the
+        valid subset exactly (ragged-tail parity for wrap-padded static
+        batches; masked hazards contribute w=0 to the cumulative sum, which
+        leaves every valid prefix's partial sums bitwise unchanged).
 
     Returns: scalar loss. If the batch contains no events the loss is 0
     (the reference would divide by zero; a zero loss keeps gradients finite
@@ -58,8 +64,22 @@ def cox_ph_loss(
     log_h = log_h[order]
     events = events[order]
 
-    gamma = jax.lax.stop_gradient(jnp.max(log_h))
-    log_cumsum_h = jnp.log(jnp.cumsum(jnp.exp(log_h - gamma)) + eps) + gamma
+    if mask is None:
+        gamma = jax.lax.stop_gradient(jnp.max(log_h))
+        w = jnp.exp(log_h - gamma)
+    else:
+        m = mask.reshape(-1).astype(jnp.float32)[order]
+        events = events * m
+        gamma = jnp.max(jnp.where(m > 0, log_h, -jnp.inf))
+        gamma = jax.lax.stop_gradient(jnp.where(jnp.isfinite(gamma), gamma, 0.0))
+        # clamp masked entries to gamma BEFORE exp so neither where-branch
+        # can produce inf (the where-NaN gradient trap); reuse the clamped
+        # values for the event terms too, so a non-finite masked log_h
+        # (e.g. an overflowed fully-masked microbatch) can't inject
+        # inf * 0 = NaN into pll
+        log_h = jnp.where(m > 0, log_h, gamma)
+        w = jnp.where(m > 0, jnp.exp(log_h - gamma), 0.0)
+    log_cumsum_h = jnp.log(jnp.cumsum(w) + eps) + gamma
 
     n_events = jnp.sum(events)
     pll = jnp.sum((log_h - log_cumsum_h) * events)
@@ -71,6 +91,7 @@ def cox_ph_loss_efron(
     events: jax.Array,
     durations: jax.Array,
     eps: float = 1e-7,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Cox partial likelihood with Efron's tie correction (beyond-reference
     capability; the reference/pycox formulation above ignores ties).
@@ -95,8 +116,19 @@ def cox_ph_loss_efron(
     ev = events[order]
     dur = durations[order]
 
-    gamma = jax.lax.stop_gradient(jnp.max(lh))
-    w = jnp.exp(lh - gamma)  # scaled hazards
+    if mask is None:
+        gamma = jax.lax.stop_gradient(jnp.max(lh))
+        w = jnp.exp(lh - gamma)  # scaled hazards
+    else:
+        # masked samples: zero hazard + zero event => excluded from risk
+        # sets, tied-group sums and event counts (see cox_ph_loss)
+        m = mask.reshape(-1).astype(jnp.float32)[order]
+        ev = ev * m
+        gamma = jnp.max(jnp.where(m > 0, lh, -jnp.inf))
+        gamma = jax.lax.stop_gradient(jnp.where(jnp.isfinite(gamma), gamma, 0.0))
+        # clamp masked entries for the event terms too (see cox_ph_loss)
+        lh = jnp.where(m > 0, lh, gamma)
+        w = jnp.where(m > 0, jnp.exp(lh - gamma), 0.0)
 
     idx = jnp.arange(n)
     # group starts where the (descending) duration changes
@@ -137,6 +169,7 @@ def multi_cox_loss(
     durations: jax.Array,
     eps: float = 1e-7,
     ties: str = "breslow",
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Sum of independent Cox losses over C target columns.
 
@@ -150,9 +183,11 @@ def multi_cox_loss(
       log_h: (N, C) log hazard predictions.
       events: (N, C) event indicators.
       durations: (N, C) durations.
+      mask: optional (N,) per-sample validity, shared across columns
+        (ragged-tail parity; see cox_ph_loss).
     """
     fn = cox_ph_loss_efron if ties == "efron" else cox_ph_loss
-    per_class = jax.vmap(fn, in_axes=(1, 1, 1, None))(
-        log_h, events, durations, eps
+    per_class = jax.vmap(fn, in_axes=(1, 1, 1, None, None))(
+        log_h, events, durations, eps, mask
     )
     return jnp.sum(per_class)

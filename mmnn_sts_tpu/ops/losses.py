@@ -23,11 +23,16 @@ def bce_with_logits(
     targets: jax.Array,
     pos_weight: jax.Array | None = None,
     reduction: str = "sum",
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Numerically stable sigmoid BCE with optional positive-class weighting.
 
     Matches torch.nn.BCEWithLogitsLoss semantics:
       l = - [ pos_weight * y * log(sigmoid(x)) + (1 - y) * log(1 - sigmoid(x)) ]
+
+    mask: optional (N,) per-sample validity — masked samples contribute zero
+    (ragged-tail parity for wrap-padded static batches: the masked sum equals
+    the reference's smaller last batch exactly).
     """
     x = logits.astype(jnp.float32)
     y = targets.astype(jnp.float32)
@@ -39,6 +44,11 @@ def bce_with_logits(
     else:
         pw = jnp.asarray(pos_weight, dtype=jnp.float32)
         loss = -(pw * y * log_p + (1.0 - y) * log_not_p)
+    if mask is not None:
+        mf = mask.astype(jnp.float32).reshape(
+            (loss.shape[0],) + (1,) * (loss.ndim - 1)
+        )
+        loss = loss * mf
     if reduction == "sum":
         return jnp.sum(loss)
     if reduction == "mean":

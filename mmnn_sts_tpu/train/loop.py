@@ -174,6 +174,15 @@ def train_survival(
     host_durations = np.asarray(train_ds.durations)
     n_unique = train_ds.num_samples
 
+    # Ragged epochs: the wrap-padded last superstep runs with masked
+    # semantics (loss/grads/BN stats over valid samples only — the
+    # reference's smaller last batch, /root/reference/main.py:478-481).
+    # The mask is epoch-independent (pad positions are always trailing).
+    tail_mask = (
+        jnp.asarray(batcher.pad_mask()[-1]) if batcher.ragged else None
+    )
+    steps_total = batcher.steps_per_epoch()
+
     for epoch in range(cfg.epochs):
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
@@ -187,7 +196,8 @@ def train_survival(
 
         if use_fused:
             # whole epoch (and validation, when fused) = ONE XLA program
-            idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            idx_all = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            idx = idx_all[:-1] if batcher.ragged else idx_all
             with mesh:
                 state, out = survival_train_epoch(
                     state,
@@ -205,6 +215,8 @@ def train_survival(
                     with_val=fuse_val and do_val,
                     data_axis=_data_axis(mesh, cfg.batch_size),
                     group=cfg.microbatch_group,
+                    tail_idx=idx_all[-1] if batcher.ragged else None,
+                    tail_mask=tail_mask,
                 )
             res = jax.device_get(out)
             epoch_loss = float(np.sum(res["loss"]))
@@ -218,7 +230,9 @@ def train_survival(
         else:
             # streaming/host path: per-superstep dispatch with H2D prefetch
             step_losses, step_preds = [], []
-            for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
+            for s, batch in enumerate(
+                _epoch_batches(train_ds, batcher, epoch, mesh)
+            ):
                 key, k = jax.random.split(key)
                 state, aux = survival_train_superstep(
                     state,
@@ -230,6 +244,7 @@ def train_survival(
                     augment=cfg.augment,
                     ties=cfg.ties,
                     group=cfg.microbatch_group,
+                    mask=tail_mask if s == steps_total - 1 else None,
                 )
                 step_losses.append(aux["loss"])
                 step_preds.append(aux["preds"])
@@ -418,6 +433,12 @@ def train_classification(
     host_labels = np.asarray(train_ds.labels)
     n_unique = train_ds.num_samples
 
+    # ragged last batch: masked semantics (see train_survival)
+    tail_mask = (
+        jnp.asarray(batcher.pad_mask()[-1]) if batcher.ragged else None
+    )
+    steps_total = batcher.steps_per_epoch()
+
     for epoch in range(cfg.epochs):
         logger.info("-" * 10)
         logger.info(f"epoch {epoch + 1}/{cfg.epochs}")
@@ -426,7 +447,8 @@ def train_classification(
         val_out = None
 
         if use_fused:
-            idx = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            idx_all = jnp.asarray(batcher.epoch_indices(epoch), dtype=jnp.int32)
+            idx = idx_all[:-1] if batcher.ragged else idx_all
             with mesh:
                 state, out = classification_train_epoch(
                     state,
@@ -441,6 +463,8 @@ def train_classification(
                     augment=cfg.augment,
                     with_val=fuse_val and do_val,
                     data_axis=_data_axis(mesh, cfg.batch_size),
+                    tail_idx=idx_all[-1] if batcher.ragged else None,
+                    tail_mask=tail_mask,
                 )
             res = jax.device_get(out)
             epoch_loss = float(np.sum(res["loss"]))
@@ -454,7 +478,9 @@ def train_classification(
         else:
             # device-side collection; one readback per epoch
             step_losses, step_logits = [], []
-            for batch in _epoch_batches(train_ds, batcher, epoch, mesh):
+            for s, batch in enumerate(
+                _epoch_batches(train_ds, batcher, epoch, mesh)
+            ):
                 key, k = jax.random.split(key)
                 state, aux = classification_train_step(
                     state,
@@ -464,6 +490,7 @@ def train_classification(
                     k,
                     blend=cfg.blend,
                     augment=cfg.augment,
+                    mask=tail_mask if s == steps_total - 1 else None,
                 )
                 step_losses.append(aux["loss"])
                 step_logits.append(aux["preds"])

@@ -125,6 +125,7 @@ def _survival_superstep_body(
     augment: bool,
     ties: str,
     group: int = 1,
+    mask: jax.Array | None = None,
 ):
     """One optimizer update over A accumulated microbatches (traceable).
 
@@ -137,14 +138,14 @@ def _survival_superstep_body(
     Cox losses, and the per-microbatch augment/dropout RNG keys are all
     BIT-IDENTICAL to the sequential layout, and the running-stat EMA is
     folded in its sequential order in closed form (_ordered_ema_merge).
-    The only numerical difference vs group=1 is the gradient-accumulation
-    summation order. Measured on v5e this is a ~17% REGRESSION at any
-    group (docs/PERF.md "Grouped microbatches"): the per-group gradient
-    separation lowers the weight-grads to batch-group convolutions whose
-    cost scales with the group, defeating XLA's fused accumulation — the
-    capability ships OFF (TPU.microbatch_group=1) with the measurement
-    recorded; revisit on hardware where small-batch convs underutilize
-    the MXU more severely.
+    The only numerical difference vs group=1 is float reassociation in the
+    gradient summation. The gradient is computed as ONE backward of the
+    summed group loss, so the convolutions (and their weight-grads) run on
+    the merged group*B batch — the round-3 first attempt vmapped
+    value_and_grad instead, which lowered per-member weight-grad
+    convolutions costing group x the FLOPs and LOST ~17%
+    (docs/PERF.md "Grouped microbatches"); sum-then-grad recovers the
+    large-batch MXU efficiency the micro-batch sweep showed.
     """
     from ..models.common import BN_MOMENTUM
 
@@ -153,8 +154,13 @@ def _survival_superstep_body(
     group = max(1, min(group, num_micro))
     if num_micro % group:
         group = 1  # fall back rather than change microbatch boundaries
+    if mask is not None:
+        # masked (ragged-tail) supersteps run once per epoch; keep them on
+        # the sequential path rather than specializing the grouped program
+        group = 1
 
-    def loss_fn(params, batch_stats, mb_inputs, mb_e, mb_d, dropout_key):
+    def loss_fn(params, batch_stats, mb_inputs, mb_e, mb_d, dropout_key,
+                mb_mask=None):
         variables = {"params": params, "batch_stats": batch_stats}
         out, mutated = state.apply_fn(
             variables,
@@ -162,20 +168,21 @@ def _survival_superstep_body(
             train=True,
             rngs={"dropout": dropout_key},
             mutable=["batch_stats"],
+            sample_mask=mb_mask,
         )
         if blend:
             loss, _selection = blended_surv_loss(state.blend, out, mb_e, mb_d,
-                                                 ties)
+                                                 ties, mb_mask)
         else:
-            loss = multi_cox_loss(out, mb_e, mb_d, ties=ties)
+            loss = multi_cox_loss(out, mb_e, mb_d, ties=ties, mask=mb_mask)
         return loss, (mutated["batch_stats"], out)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def one_micro(batch_stats, mb_inputs, mb_e, mb_d, ks):
+    def one_micro(batch_stats, mb_inputs, mb_e, mb_d, ks, mb_mask=None):
         mb_inputs = _augment_inputs(mb_inputs, ks[0], train=augment)
         (loss, (new_bs, out)), grads = grad_fn(
-            state.params, batch_stats, mb_inputs, mb_e, mb_d, ks[1]
+            state.params, batch_stats, mb_inputs, mb_e, mb_d, ks[1], mb_mask
         )
         return loss, new_bs, out, grads
 
@@ -185,22 +192,44 @@ def _survival_superstep_body(
             loss, new_bs, out, grads = one_micro(batch_stats, *xs)
             return (new_bs, _tree_add(grad_accum, grads), loss_sum + loss), out
 
+        xs = (inputs, events, durations, keys)
+        if mask is not None:
+            xs = xs + (mask,)
         init = (state.batch_stats, _tree_zeros_like(state.params),
                 jnp.zeros(()))
-        (new_bs, grads, loss_sum), outs = jax.lax.scan(
-            micro, init, (inputs, events, durations, keys)
-        )
+        (new_bs, grads, loss_sum), outs = jax.lax.scan(micro, init, xs)
     else:
         def micro_group(carry, xs):
             batch_stats, grad_accum, loss_sum = carry
             g_inputs, g_e, g_d, g_ks = xs  # leaves (group, B, ...)
-            losses, bs_g, outs, grads_g = jax.vmap(
-                one_micro, in_axes=(None, 0, 0, 0, 0)
-            )(batch_stats, g_inputs, g_e, g_d, g_ks)
+
+            # ONE backward for the whole group: differentiate the SUM of the
+            # vmapped per-member losses instead of vmapping value_and_grad.
+            # Under vmap the convolutions run on the merged (group*B) batch,
+            # so the weight-gradient is a single contraction over group*B
+            # samples (the large-batch MXU efficiency) — NOT `group`
+            # separate batch-group convolutions, which is why the original
+            # grad-then-sum formulation cost group x the gradient FLOPs
+            # (docs/PERF.md "Grouped microbatches"). Per-member BN batch
+            # statistics, Cox losses and RNG keys stay inside the vmap and
+            # are bit-identical to the sequential layout; sum-then-grad vs
+            # grad-then-sum differs only in float reassociation.
+            def group_loss(params):
+                def member(mb_inputs, mb_e, mb_d, ks):
+                    mb_inputs = _augment_inputs(mb_inputs, ks[0],
+                                                train=augment)
+                    return loss_fn(params, batch_stats, mb_inputs, mb_e,
+                                   mb_d, ks[1])
+
+                losses, (bs_g, outs) = jax.vmap(member)(g_inputs, g_e, g_d,
+                                                        g_ks)
+                return jnp.sum(losses), (losses, bs_g, outs)
+
+            (_, (losses, bs_g, outs)), grads_sum = jax.value_and_grad(
+                group_loss, has_aux=True
+            )(state.params)
             new_bs = _ordered_ema_merge(batch_stats, bs_g, BN_MOMENTUM)
-            grads = jax.tree.map(
-                lambda a, b: a + jnp.sum(b, axis=0), grad_accum, grads_g
-            )
+            grads = _tree_add(grad_accum, grads_sum)
             return (new_bs, grads, loss_sum + jnp.sum(losses)), outs
 
         init = (state.batch_stats, _tree_zeros_like(state.params),
@@ -236,6 +265,7 @@ def survival_train_superstep(
     augment: bool = True,
     ties: str = "breslow",
     group: int = 1,
+    mask: jax.Array | None = None,
 ):
     """One jitted optimizer update (used by the streaming/host path and
     tests; device-resident epochs use survival_train_epoch).
@@ -244,10 +274,14 @@ def survival_train_superstep(
     per-microbatch head predictions (A, [K,] B, C) for epoch-level C-index
     and gradient-blending statistics. `group` executes that many
     microbatches as one vmapped program (semantics preserved — see
-    _survival_superstep_body).
+    _survival_superstep_body). `mask` (A, B) marks the valid samples of a
+    wrap-padded ragged tail: masked samples are excluded from losses,
+    gradients and BatchNorm statistics, reproducing the reference's smaller
+    last batch (/root/reference/main.py:445-492,478-481) on static shapes.
     """
     return _survival_superstep_body(
-        state, inputs, events, durations, key, blend, augment, ties, group
+        state, inputs, events, durations, key, blend, augment, ties, group,
+        mask,
     )
 
 
@@ -284,10 +318,19 @@ def survival_train_epoch(
     with_val: bool = False,
     data_axis: str | None = None,
     group: int = 1,
+    tail_idx: jax.Array | None = None,  # (A, B) — ragged last superstep
+    tail_mask: jax.Array | None = None,  # (A, B) 0/1 validity of tail_idx
 ):
     """A FULL training epoch (+ optional fused validation) as one XLA
     program: lax.scan over optimizer supersteps, each gathering its
     (A, B, ...) super-batch from the device-resident split by index.
+
+    When the epoch is ragged (N not a multiple of the super-batch), the
+    wrap-padded last superstep is passed separately as tail_idx/tail_mask
+    and executed with masked semantics (losses, gradients and BatchNorm
+    statistics over the valid samples only) — exactly the reference's
+    smaller final batch + step-on-last-batch behavior
+    (/root/reference/main.py:478-481).
 
     This exists because per-step dispatch is the real epoch cost on a
     tunneled single chip (~0.1-0.3s per eager op round-trip, measured in
@@ -306,9 +349,11 @@ def survival_train_epoch(
     out["val_preds"/"val_loss"/"val_selection"].
     """
     num_steps = idx.shape[0]
-    keys = jax.random.split(key, num_steps)
+    keys = jax.random.split(
+        key, num_steps + (1 if tail_idx is not None else 0)
+    )
 
-    def step(st, xs):
+    def step(st, xs, mask=None):
         step_idx, k = xs  # (A, B) indices
         mb_inputs = _shard_batch(
             jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 1
@@ -318,10 +363,23 @@ def survival_train_epoch(
             _shard_batch(events[step_idx], data_axis, 1),
             _shard_batch(durations[step_idx], data_axis, 1),
             k, blend, augment, ties, group,
+            mask,
         )
         return st, (aux["loss"], aux["preds"])
 
-    state, (losses, preds) = jax.lax.scan(step, state, (idx, keys))
+    state, (losses, preds) = jax.lax.scan(
+        step, state, (idx, keys[:num_steps])
+    )
+    if tail_idx is not None:
+        state, (tail_loss, tail_preds) = step(
+            state, (tail_idx, keys[num_steps]),
+            mask=_shard_batch(tail_mask, data_axis, 1),
+        )
+        losses = jnp.concatenate([losses, tail_loss[None]])
+        preds = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+            preds, tail_preds,
+        )
     out = {"loss": losses, "preds": preds}
     if with_val:
         ev = _survival_eval_body(state, val_inputs, val_events,
@@ -351,7 +409,7 @@ def survival_eval_step(
 
 
 def _classification_step_body(state, inputs, labels, pos_weight, key,
-                              blend, augment):
+                              blend, augment, mask=None):
     aug_key, dropout_key = jax.random.split(key)
     inputs = _augment_inputs(inputs, aug_key, train=augment)
 
@@ -363,11 +421,14 @@ def _classification_step_body(state, inputs, labels, pos_weight, key,
             train=True,
             rngs={"dropout": dropout_key},
             mutable=["batch_stats"],
+            sample_mask=mask,
         )
         if blend:
-            loss, _sel = blended_class_loss(state.blend, out, labels, pos_weight)
+            loss, _sel = blended_class_loss(state.blend, out, labels,
+                                            pos_weight, mask)
         else:
-            loss = bce_with_logits(out, labels, pos_weight, reduction="sum")
+            loss = bce_with_logits(out, labels, pos_weight, reduction="sum",
+                                   mask=mask)
         return loss, (mutated["batch_stats"], out)
 
     (loss, (new_bs, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -386,11 +447,14 @@ def classification_train_step(
     key: jax.Array,
     blend: bool = False,
     augment: bool = True,
+    mask: jax.Array | None = None,
 ):
     """One optimizer step per batch (no accumulation —
-    /root/reference/main.py:205-217)."""
+    /root/reference/main.py:205-217). `mask` (B,) marks the valid samples
+    of a wrap-padded ragged last batch (masked loss/grads/BN statistics —
+    the reference's smaller final loader batch)."""
     return _classification_step_body(state, inputs, labels, pos_weight, key,
-                                     blend, augment)
+                                     blend, augment, mask)
 
 
 def _classification_eval_body(state, inputs, labels, pos_weight, blend):
@@ -422,28 +486,47 @@ def classification_train_epoch(
     augment: bool = True,
     with_val: bool = False,
     data_axis: str | None = None,
+    tail_idx: jax.Array | None = None,  # (B,) — ragged last batch
+    tail_mask: jax.Array | None = None,  # (B,) 0/1 validity of tail_idx
 ):
     """A full classification epoch (+ optional fused validation) as one XLA
     program — see survival_train_epoch for the dispatch-latency rationale.
+
+    A ragged last batch is passed separately as tail_idx/tail_mask and runs
+    with masked semantics (see classification_train_step).
 
     Returns (new_state, out): out["loss"] (S,), out["preds"]
     (S, [K,] B, C); with_val adds val_preds/val_elementwise/val_loss.
     """
     num_steps = idx.shape[0]
-    keys = jax.random.split(key, num_steps)
+    keys = jax.random.split(
+        key, num_steps + (1 if tail_idx is not None else 0)
+    )
 
-    def step(st, xs):
+    def step(st, xs, mask=None):
         step_idx, k = xs  # (B,) indices
         mb_inputs = _shard_batch(
             jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 0
         )
         st, aux = _classification_step_body(
             st, mb_inputs, _shard_batch(labels[step_idx], data_axis, 0),
-            pos_weight, k, blend, augment
+            pos_weight, k, blend, augment, mask
         )
         return st, (aux["loss"], aux["preds"])
 
-    state, (losses, preds) = jax.lax.scan(step, state, (idx, keys))
+    state, (losses, preds) = jax.lax.scan(
+        step, state, (idx, keys[:num_steps])
+    )
+    if tail_idx is not None:
+        state, (tail_loss, tail_preds) = step(
+            state, (tail_idx, keys[num_steps]),
+            mask=_shard_batch(tail_mask, data_axis, 0),
+        )
+        losses = jnp.concatenate([losses, tail_loss[None]])
+        preds = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+            preds, tail_preds,
+        )
     out = {"loss": losses, "preds": preds}
     if with_val:
         ev = _classification_eval_body(state, val_inputs, val_labels,

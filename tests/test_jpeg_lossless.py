@@ -116,6 +116,7 @@ def test_still_unsupported_syntax_raises(tmp_path):
 
     p = str(tmp_path / "x.dcm")
     with open(p, "wb") as f:
-        f.write(dicom_meta("1.2.840.10008.1.2.4.90"))  # J2K lossless
+        # MPEG2 video — genuinely out of scope (J2K .90/.91 decode natively)
+        f.write(dicom_meta("1.2.840.10008.1.2.4.100"))
     with pytest.raises(ValueError, match="unsupported transfer syntax"):
         read_dicom_file(p)

@@ -76,17 +76,21 @@ def test_train_c_index_excludes_wrap_padding(rng, tmp_path, fused):
     result = train_survival(state, train_ds, val_ds, cfg)
 
     # Independent replay: same deterministic batch order, same (frozen)
-    # params, train-mode BN (per-batch statistics).
+    # params, train-mode BN (per-batch statistics) — with the loop's masked
+    # semantics on the wrap-padded final microbatch (train/steps.py passes
+    # pad_mask there, so its valid samples normalize over valid-only stats).
     batcher = EpochBatcher(n, micro_batch=b, accum_steps=1, seed=cfg.seed,
                            two_level=True)
     idx = batcher.epoch_indices(0)
     flat = idx.reshape(-1)
+    pad_rows = batcher.pad_mask().reshape(-1, b)
     variables = {"params": params0, "batch_stats": bstats0}
     preds = []
-    for row in idx.reshape(-1, b):
+    for row, mrow in zip(idx.reshape(-1, b), pad_rows):
         out, _ = state.apply_fn(
             variables, jnp.asarray(x[row]), train=True,
             rngs={"dropout": jax.random.key(0)}, mutable=["batch_stats"],
+            sample_mask=None if mrow.min() > 0 else jnp.asarray(mrow),
         )
         preds.append(np.asarray(out))
     stream_preds = np.concatenate(preds, axis=0)

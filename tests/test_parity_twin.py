@@ -79,6 +79,36 @@ def test_blend_weights_agree(twin_result):
 
 
 @pytest.fixture(scope="module")
+def ragged_twin_result(tmp_path_factory):
+    """n_train NOT divisible by the super-batch: the torch twin runs the
+    TRUE ragged batches (reference loader semantics) while the jax side
+    wrap-pads and masks (train/steps.py). Agreement here proves the
+    masked-tail semantics reproduce the reference's ragged last batch."""
+    cfg = TwinConfig(n_train=14, n_val=8, size=12, epochs=3, micro_batch=4,
+                     accum=2, blend_update_interval=2, seed=7)
+    data = make_synthetic_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                 cfg.n_clinical, seed=cfg.seed)
+    tmp = str(tmp_path_factory.mktemp("ragged_twin"))
+    jax_hist, variables = run_jax(cfg, data, tmp)
+    torch_hist = run_torch(cfg, data, variables)
+    return compare(cfg, jax_hist, torch_hist)
+
+
+def test_ragged_first_epoch_loss_matches_tight(ragged_twin_result):
+    # same weights, same REAL samples (pad masked out on the jax side,
+    # trimmed on the torch side) -> float noise only
+    assert ragged_twin_result["first_epoch_train_rel_delta"] < 1e-3, \
+        ragged_twin_result
+
+
+def test_ragged_trajectories_stay_close(ragged_twin_result):
+    assert ragged_twin_result["max_train_rel_delta"] < 0.05, ragged_twin_result
+    assert ragged_twin_result["max_val_rel_delta"] < 0.05, ragged_twin_result
+    assert ragged_twin_result["max_selection_rel_delta"] < 0.02, \
+        ragged_twin_result
+
+
+@pytest.fixture(scope="module")
 def class_twin_result(tmp_path_factory):
     cfg = TwinConfig(n_train=16, n_val=8, size=12, epochs=4, micro_batch=8,
                      accum=1, blend_update_interval=2, seed=7)
