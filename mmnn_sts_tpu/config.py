@@ -121,6 +121,12 @@ class HyperparametersConfig:
 class TPUConfig:
     """TPU-native knobs (new in this framework; absent keys default sanely)."""
 
+    # Device mesh. Default: one 'data' axis over all devices (pure DP).
+    # mesh_axes: [data, space] adds SPATIAL partitioning: volume depth
+    # shards over 'space' (XLA inserts conv halo exchanges + BN cross-shard
+    # reductions) — the sequence-parallel analogue for volumetric MRI,
+    # for resolutions whose activations exceed one chip's HBM
+    # (parallel/mesh.py; tests/test_spatial_parallel.py).
     mesh_shape: list[int] = field(default_factory=lambda: [-1])  # -1: all devices
     mesh_axes: list[str] = field(default_factory=lambda: ["data"])
     compute_dtype: str = "float32"  # or "bfloat16"

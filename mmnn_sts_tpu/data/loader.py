@@ -27,7 +27,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import batch_sharding, microbatched_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    data_axis_size,
+    microbatched_sharding,
+    space_axis_size,
+    volume_sharding,
+)
+
+
+def _space_ok(x, mesh, batch_dims: int) -> bool:
+    """True when x is an image batch whose depth axis divides the mesh's
+    'space' axis (…, B, D, H, W, C with batch_dims leading batch axes)."""
+    sp = space_axis_size(mesh)
+    return (
+        sp > 1
+        and x.ndim >= batch_dims + 4
+        and x.shape[batch_dims] % sp == 0
+    )
 
 
 @dataclass
@@ -72,9 +89,13 @@ def build_device_dataset(
     """Place a split's arrays on device.
 
     The resident arrays are sharded on the sample axis only when the split
-    size divides the mesh; otherwise they stay replicated/unsharded (batch
-    gathers re-shard anyway)."""
+    size divides the mesh's 'data' axis; volumes additionally shard their
+    depth axis over a 'space' mesh axis when one is configured (spatial
+    partitioning — parallel/mesh.py), which divides the resident cohort's
+    HBM footprint across the space group. Otherwise they stay
+    replicated/unsharded (batch gathers re-shard anyway)."""
     n_dev = mesh.devices.size
+    n_data = data_axis_size(mesh)
 
     def put(x):
         if x is None:
@@ -84,7 +105,9 @@ def build_device_dataset(
             # single chip: keep arrays uncommitted so jit in/out shardings
             # always match (committed/uncommitted mixes force host copies)
             return jax.device_put(x)
-        if x.shape[0] % n_dev == 0:
+        if x.shape[0] % n_data == 0:
+            if _space_ok(x, mesh, 1):
+                return jax.device_put(x, volume_sharding(mesh, 0))
             return jax.device_put(x, batch_sharding(mesh))
         return jax.device_put(x, jax.NamedSharding(mesh, jax.P()))
 
@@ -170,21 +193,28 @@ def gather_superbatch(ds: DeviceDataset, idx: np.ndarray, mesh):
     """Assemble one (A, B, ...) super-batch from device-resident arrays.
 
     The micro-batch axis is sharded over the 'data' mesh axis when its size
-    divides the mesh; smaller batches fall back to replication (correct,
+    divides that axis; volume depth additionally shards over a 'space' axis
+    when configured. Smaller batches fall back to replication (correct,
     just without the data-parallel split)."""
     flat = idx.reshape(-1)
     shape = idx.shape  # (A, B) or (B,)
     micro = shape[-1]
+    batch_dims = idx.ndim
     if mesh.devices.size == 1:
         sh = None
-    elif micro % mesh.devices.size == 0:
+    elif micro % data_axis_size(mesh) == 0:
         sh = microbatched_sharding(mesh) if idx.ndim == 2 else batch_sharding(mesh)
     else:
         sh = jax.NamedSharding(mesh, jax.P())
 
     def take(x):
         out = x[flat].reshape(shape + x.shape[1:])
-        return jax.device_put(out, sh) if sh is not None else out
+        if sh is None:
+            return out
+        use = sh
+        if sh.spec and _space_ok(out, mesh, batch_dims):
+            use = volume_sharding(mesh, batch_dims - 1)
+        return jax.device_put(out, use)
 
     inputs = jax.tree.map(take, ds.model_inputs())
     out = {"inputs": inputs}

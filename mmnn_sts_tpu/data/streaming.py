@@ -20,8 +20,8 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-from .loader import EpochBatcher
-from ..parallel.mesh import batch_sharding, microbatched_sharding
+from .loader import EpochBatcher, _space_ok
+from ..parallel.mesh import batch_sharding, data_axis_size, microbatched_sharding, volume_sharding
 
 
 @dataclass
@@ -74,16 +74,24 @@ def prefetched_epoch(
 ):
     """Yield device-resident batches with one-batch lookahead."""
     n_dev = mesh.devices.size
-    if n_dev == 1 or batcher.micro_batch % n_dev != 0:
+    two_level = batcher.accum_steps > 1 or batcher.two_level
+    if n_dev == 1 or batcher.micro_batch % data_axis_size(mesh) != 0:
         sharding = None  # replicate / auto-place (batch not divisible)
     else:
-        two_level = batcher.accum_steps > 1 or batcher.two_level
         sharding = microbatched_sharding(mesh) if two_level else batch_sharding(mesh)
+    batch_dims = 2 if two_level else 1
 
     def put(host_batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, host_batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), host_batch)
+
+        def one(x):
+            sh = sharding
+            if _space_ok(x, mesh, batch_dims):
+                sh = volume_sharding(mesh, batch_dims - 1)
+            return jax.device_put(x, sh)
+
+        return jax.tree.map(one, host_batch)
 
     pending = None
     for idx in batcher.epoch_indices(epoch):

@@ -11,6 +11,17 @@ collective in the training step.
 A `model` axis is reserved in the mesh API for tensor-parallel layouts
 (unused by default: the largest model here is ~11M params, SURVEY.md §2
 checklist), so multi-axis meshes can be configured without code changes.
+
+A `space` axis adds SPATIAL partitioning of the MRI volumes — the
+sequence-parallel analogue for this workload (SURVEY.md §5 "long-context"
+row: the context knob is voxel resolution, not tokens). With
+`TPU.mesh_axes: [data, space]` the depth axis of every (…, D, H, W, C)
+volume is sharded over `space`; XLA's SPMD partitioner inserts the halo
+exchanges for the 3D convolutions and the cross-shard reductions for
+BatchNorm/pooling automatically. This is what lets volumes larger than
+64^3 (whose activations exceed one chip's HBM at training batch sizes)
+train without changing a line of model code. The reference has no
+analogue of any of this (torch.distributed imported, never used).
 """
 
 from __future__ import annotations
@@ -71,6 +82,33 @@ def batch_sharding(mesh: Mesh, leading_axis: int = 0) -> NamedSharding:
 def microbatched_sharding(mesh: Mesh) -> NamedSharding:
     """(accum_steps, batch, ...) layout: scan axis replicated, batch sharded."""
     return NamedSharding(mesh, P(None, "data"))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the 'data' (batch-parallel) mesh axis, 1 if absent."""
+    try:
+        return mesh.shape["data"]
+    except (KeyError, TypeError):
+        return 1
+
+
+def space_axis_size(mesh: Mesh) -> int:
+    """Size of the 'space' (spatial-partitioning) mesh axis, 1 if absent."""
+    try:
+        return mesh.shape["space"]
+    except (KeyError, TypeError):
+        return 1
+
+
+def volume_sharding(mesh: Mesh, batch_dim: int = 0) -> NamedSharding:
+    """Sharding for an image batch (…, B, D, H, W, C): batch over 'data',
+    volume depth over 'space' (when the mesh has one). batch_dim is the
+    index of B; D is batch_dim + 1."""
+    spec = [None] * (batch_dim + 2)
+    spec[batch_dim] = "data"
+    if space_axis_size(mesh) > 1:
+        spec[batch_dim + 1] = "space"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

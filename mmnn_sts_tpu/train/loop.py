@@ -217,6 +217,7 @@ def train_survival(
                     group=cfg.microbatch_group,
                     tail_idx=idx_all[-1] if batcher.ragged else None,
                     tail_mask=tail_mask,
+                    space_axis=_space_axis(mesh, train_ds),
                 )
             res = jax.device_get(out)
             epoch_loss = float(np.sum(res["loss"]))
@@ -465,6 +466,7 @@ def train_classification(
                     data_axis=_data_axis(mesh, cfg.batch_size),
                     tail_idx=idx_all[-1] if batcher.ragged else None,
                     tail_mask=tail_mask,
+                    space_axis=_space_axis(mesh, train_ds),
                 )
             res = jax.device_get(out)
             epoch_loss = float(np.sum(res["loss"]))
@@ -636,11 +638,25 @@ def train_classification(
 
 
 def _data_axis(mesh, micro_batch: int):
-    """'data' when the micro-batch divides a multi-device mesh (real DP
+    """'data' when the micro-batch divides the mesh's data axis (real DP
     sharding constraint inside the fused epoch program), else None."""
-    n_dev = mesh.devices.size
-    if n_dev > 1 and micro_batch % n_dev == 0:
+    from ..parallel.mesh import data_axis_size
+
+    n_data = data_axis_size(mesh)
+    if mesh.devices.size > 1 and micro_batch % n_data == 0:
         return "data"
+    return None
+
+
+def _space_axis(mesh, train_ds):
+    """'space' when the mesh has a spatial-partitioning axis that divides
+    the volume depth (parallel/mesh.py), else None."""
+    from ..parallel.mesh import space_axis_size
+
+    sp = space_axis_size(mesh)
+    img = train_ds.inputs.get("image") if hasattr(train_ds, "inputs") else None
+    if sp > 1 and img is not None and img.ndim >= 4 and img.shape[1] % sp == 0:
+        return "space"
     return None
 
 

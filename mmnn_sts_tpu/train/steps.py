@@ -55,10 +55,14 @@ def _augment_inputs(inputs, key, train: bool):
     return inputs  # clinical-only (B, F)
 
 
-def _shard_batch(tree, data_axis: str | None, batch_dim: int):
+def _shard_batch(tree, data_axis: str | None, batch_dim: int,
+                 space_axis: str | None = None):
     """Constrain the micro-batch axis of every leaf onto the mesh 'data'
-    axis (SPMD data parallelism inside the fused epoch program). No-op when
-    data_axis is None (single chip). Requires a mesh context at trace time.
+    axis (SPMD data parallelism inside the fused epoch program); image
+    leaves additionally constrain their depth axis onto `space_axis`
+    (spatial partitioning of the volume grid — parallel/mesh.py). No-op
+    when data_axis is None (single chip). Requires a mesh context at trace
+    time.
     """
     if data_axis is None:
         return tree
@@ -66,6 +70,8 @@ def _shard_batch(tree, data_axis: str | None, batch_dim: int):
     def constrain(x):
         spec = [None] * x.ndim
         spec[batch_dim] = data_axis
+        if space_axis is not None and x.ndim >= batch_dim + 4:
+            spec[batch_dim + 1] = space_axis
         return jax.lax.with_sharding_constraint(x, jax.P(*spec))
 
     return jax.tree.map(constrain, tree)
@@ -300,7 +306,7 @@ def _survival_eval_body(state, inputs, events, durations, blend, ties):
 
 @partial(jax.jit,
          static_argnames=("blend", "augment", "ties", "with_val", "data_axis",
-                          "group"),
+                          "group", "space_axis"),
          donate_argnums=(0,))
 def survival_train_epoch(
     state: TrainState,
@@ -320,6 +326,7 @@ def survival_train_epoch(
     group: int = 1,
     tail_idx: jax.Array | None = None,  # (A, B) — ragged last superstep
     tail_mask: jax.Array | None = None,  # (A, B) 0/1 validity of tail_idx
+    space_axis: str | None = None,
 ):
     """A FULL training epoch (+ optional fused validation) as one XLA
     program: lax.scan over optimizer supersteps, each gathering its
@@ -356,7 +363,8 @@ def survival_train_epoch(
     def step(st, xs, mask=None):
         step_idx, k = xs  # (A, B) indices
         mb_inputs = _shard_batch(
-            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 1
+            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 1,
+            space_axis,
         )
         st, aux = _survival_superstep_body(
             st, mb_inputs,
@@ -471,7 +479,8 @@ def _classification_eval_body(state, inputs, labels, pos_weight, blend):
 
 
 @partial(jax.jit,
-         static_argnames=("blend", "augment", "with_val", "data_axis"),
+         static_argnames=("blend", "augment", "with_val", "data_axis",
+                          "space_axis"),
          donate_argnums=(0,))
 def classification_train_epoch(
     state: TrainState,
@@ -488,6 +497,7 @@ def classification_train_epoch(
     data_axis: str | None = None,
     tail_idx: jax.Array | None = None,  # (B,) — ragged last batch
     tail_mask: jax.Array | None = None,  # (B,) 0/1 validity of tail_idx
+    space_axis: str | None = None,
 ):
     """A full classification epoch (+ optional fused validation) as one XLA
     program — see survival_train_epoch for the dispatch-latency rationale.
@@ -506,7 +516,8 @@ def classification_train_epoch(
     def step(st, xs, mask=None):
         step_idx, k = xs  # (B,) indices
         mb_inputs = _shard_batch(
-            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 0
+            jax.tree.map(lambda x: x[step_idx], inputs), data_axis, 0,
+            space_axis,
         )
         st, aux = _classification_step_body(
             st, mb_inputs, _shard_batch(labels[step_idx], data_axis, 0),
