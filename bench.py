@@ -6,7 +6,18 @@ on-device augmentation, blended multi-target Cox loss, super-batch 64 as
 8 x 8 gradient accumulation — i.e. one complete optimizer update per measured
 super-step, exactly the hot loop of `--images --preop --survival --blend`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline semantics: the production training loop dispatches every superstep
+of an epoch and reads back once per epoch (train/loop.py:253), so its
+steady-state throughput is the PIPELINED chain measurement (segments of 5
+supersteps between readback fences — the state threads step-to-step, so
+each fence transitively forces real execution of the whole segment; no
+work escapes the timed window). The per-step-fenced time is also measured
+and reported (fenced_step_ms) — it charges every step a full relay
+round-trip that the production loop never pays. When the pipelined chain
+stalls the tunneled dev relay twice (an environment pathology, docs/PERF.md),
+the fenced number becomes the headline.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is MEASURED on this machine by benchmarks/torch_baseline.py
@@ -120,30 +131,43 @@ def main():
     fenced_dt = float(np.median(times))
 
     if os.environ.get("MMNN_BENCH_PIPELINED"):
-        # PIPELINED measurement — the production-representative number. The
-        # train state threads through chained supersteps (step i+1 consumes
-        # step i's state), so fetching the LAST step's loss transitively
-        # forces real execution of every step in the chain: as honest as
-        # the per-step fence, but dispatch overlaps device execution the
-        # way the real training loop does (train/loop.py appends device
-        # arrays and never fences mid-epoch), so the ~tens-of-ms relay
-        # round-trip is amortized over the chain instead of charged to
-        # every step. Measured 88 ms/step vs 115 ms fenced. NOT the
-        # default: a deep unfenced dispatch queue intermittently stalls
-        # this environment's relay (the fused-epoch pathology, docs/PERF.md)
-        # — the watchdog runs it as a separately-bounded child and merges
-        # the result only when it completes.
-        chain_keys = list(jax.random.split(jax.random.key(1), iters))
+        # PIPELINED measurement — the production-representative number and
+        # the preferred headline (see _run_with_watchdog). The train state
+        # threads through chained supersteps (step i+1 consumes step i's
+        # state), so fetching the LAST step's loss transitively forces real
+        # execution of every step in the chain: as honest as the per-step
+        # fence, but dispatch overlaps device execution the way the real
+        # training loop does (train/loop.py appends device arrays and reads
+        # back ONCE per epoch — it never fences mid-epoch), so the
+        # ~tens-of-ms relay round-trip is amortized over the chain instead
+        # of charged to every step. Measured 88 ms/step vs 115 ms fenced.
+        # Run only under the watchdog: a deep unfenced dispatch queue
+        # intermittently stalls this environment's relay (the fused-epoch
+        # pathology, docs/PERF.md) — the watchdog runs it as a
+        # separately-bounded child and falls back to the fenced headline
+        # when it stalls.
+        # Chain in segments of 5 with a readback fence between segments:
+        # a real epoch is ceil(n/64) supersteps between the loop's per-epoch
+        # readbacks (n=200 cohort -> 4), so segment-5 matches the production
+        # dispatch depth while keeping the queue shallower than the
+        # depth-10 chain that once stalled the relay (docs/PERF.md).
+        seg, n_seg = 5, 4
+        chain_keys = list(jax.random.split(jax.random.key(1), seg * n_seg))
         jax.block_until_ready(chain_keys)
         t0 = time.perf_counter()
-        for i in range(iters):
-            state, aux = step(state, chain_keys[i])
-        jax.device_get(aux["loss"])  # forces the chain (state dependency)
-        pipelined_dt = (time.perf_counter() - t0) / iters
+        for i, ck in enumerate(chain_keys):
+            state, aux = step(state, ck)
+            if (i + 1) % seg == 0:
+                # forces the whole segment (state threads step-to-step)
+                jax.device_get(aux["loss"])
+        pipelined_dt = (time.perf_counter() - t0) / (seg * n_seg)
         print(json.dumps(
             {"pipelined_step_ms": round(pipelined_dt * 1e3, 1),
              "pipelined_volumes_per_sec_per_chip": round(
-                 accum * b / pipelined_dt / n_chips, 2)}
+                 accum * b / pipelined_dt / n_chips, 2),
+             "fenced_step_ms": round(fenced_dt * 1e3, 1),
+             "fenced_volumes_per_sec_per_chip": round(
+                 accum * b / fenced_dt / n_chips, 2)}
         ))
         return
 
@@ -198,23 +222,41 @@ def _run_with_watchdog():
         return None, (f"no result (rc={out.returncode}); stderr tail: "
                       f"{out.stderr[-500:]}")
 
+    # Primary measurement: the pipelined child measures BOTH the per-step
+    # fenced time and the production-representative pipelined chain (the
+    # real training loop reads back once per EPOCH — train/loop.py:253 —
+    # so the chained number is what training actually achieves; the fenced
+    # number charges every step a full relay round-trip the production
+    # loop never pays). The chain can stall this environment's relay
+    # (docs/PERF.md), so it runs bounded with retries and the fenced-only
+    # child is the fallback headline.
+    metric = ("MRI volumes/sec/chip (multimodal survival train, "
+              "densenet121-3d 64^3x2ch, super-batch 64, on-device augment)")
+    for attempt in range(2):
+        pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"), timeout=600)
+        if pl is not None:
+            vps = pl["pipelined_volumes_per_sec_per_chip"]
+            base = _baseline_volumes_per_sec()
+            print(json.dumps({
+                "metric": metric,
+                "value": vps,
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vps / base, 2),
+                **pl,
+            }))
+            return 0
+        print(f"pipelined attempt {attempt + 1}: {err}", file=sys.stderr)
+
+    print("pipelined chain stalled twice; falling back to the fenced "
+          "per-step headline", file=sys.stderr)
     result = None
     for attempt in range(3):
         result, err = child_json(env, timeout=600)
         if result is not None:
             break
-        print(f"bench attempt {attempt + 1}: {err}", file=sys.stderr)
+        print(f"fenced attempt {attempt + 1}: {err}", file=sys.stderr)
     if result is None:
         return 1
-
-    # Optional pipelined diagnostic: production-representative dispatch
-    # overlap, but a deep unfenced queue intermittently stalls the relay —
-    # bounded separately and merged only on success (single attempt).
-    pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"), timeout=420)
-    if pl is not None:
-        result.update(pl)
-    else:
-        print(f"pipelined diagnostic skipped: {err}", file=sys.stderr)
     print(json.dumps(result))
     return 0
 

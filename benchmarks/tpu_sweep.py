@@ -94,6 +94,18 @@ def main():
                 )
             ).lower(state, key)
             flops = float(lowered.compile().cost_analysis()["flops"])
+            # XLA's cost analysis counts a while/scan BODY ONCE, ignoring
+            # the trip count (verified: a scan of 8 matmuls reports 1
+            # matmul's FLOPs; an unrolled loop reports 8x). The superstep
+            # scans accum/group iterations, each processing `group`
+            # microbatches, so the whole-superstep FLOPs are body x
+            # (accum/group). (Ops outside the scan — optimizer, blend — are
+            # counted once correctly; they are <1% of the total, so this
+            # overcounts them by the trip count, a negligible error in the
+            # other direction.) Earlier rounds' MFU tables divided the
+            # BODY count by the superstep time, understating MFU by ~8x —
+            # see docs/PERF.md round-3 correction.
+            flops *= a / g
         except Exception:  # noqa: BLE001 — cost model absent on some backends
             flops = float("nan")
 

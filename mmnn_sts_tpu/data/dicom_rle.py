@@ -28,6 +28,8 @@ import struct
 
 import numpy as np
 
+from .codec_util import corrupt_stream_guard
+
 _HEADER_LEN = 64
 
 
@@ -63,6 +65,7 @@ def _unpack_bits(data: bytes, start: int, end: int, expected: int) -> np.ndarray
     return out
 
 
+@corrupt_stream_guard
 def decode_rle_frame(
     frame: bytes, rows: int, cols: int, bits_allocated: int
 ) -> np.ndarray:

@@ -30,6 +30,8 @@ import numpy as np
 
 from .j2k_mq import CTX_RL, CTX_UNI, MQDecoder, MQEncoder
 
+from .codec_util import corrupt_stream_guard
+
 # main codestream markers (T.800 Annex A)
 SOC = 0xFF4F
 SIZ = 0xFF51
@@ -916,6 +918,7 @@ def _band_eps(cp: _CodingParams, r: int, bi: int) -> int:
     return exps[idx]
 
 
+@corrupt_stream_guard
 def decode_j2k(buf: bytes) -> np.ndarray:
     """Decode a lossless JPEG 2000 codestream (or JP2 file) -> (rows, cols)
     int64 sample values (negative iff the stream is signed)."""

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import corrupt_stream_guard
+
 # zigzag order (T.81 Figure 5)
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -140,6 +142,7 @@ class _BitReader:
         raise ValueError("JPEG stream corrupt: missing restart marker")
 
 
+@corrupt_stream_guard
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     """Decode a single-component sequential-DCT JPEG -> (rows, cols) int."""
     buf = bytes(buf)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import corrupt_stream_guard
+
 SOI = 0xD8
 EOI = 0xD9
 SOF3 = 0xC3
@@ -135,10 +137,12 @@ def _extend(v: int, t: int) -> int:
     return v
 
 
+@corrupt_stream_guard
 def decode_jpeg_lossless(buf: bytes) -> np.ndarray:
     """Decode one SOF3 frame -> (rows, cols) or (rows, cols, components)
     uint16 array (point transform reversed by left-shift, per T.81 A.4)."""
-    if buf[0] != 0xFF or buf[1] != SOI:
+    buf = bytes(buf)
+    if buf[:2] != bytes((0xFF, SOI)):
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     precision = rows = cols = 0

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import corrupt_stream_guard
+
 SOI = 0xD8
 EOI = 0xD9
 SOF55 = 0xF7  # JPEG-LS frame header
@@ -297,6 +299,7 @@ def _golomb_decode(r: _BitReader, k: int, limit: int, qbpp: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@corrupt_stream_guard
 def decode_jpeg_ls(buf: bytes) -> np.ndarray:
     """Decode a single-component JPEG-LS stream -> (rows, cols) uint16."""
     precision, rows, cols, pos, presets = _parse_headers(buf)

@@ -398,15 +398,20 @@ def make_full_cohort(root: str, n: int = 24, seed: int = 0):
 
 def write_dicom_j2k(path, pixel: np.ndarray, instance=1, z=0.0,
                     signed=False, frames=None, bits=16,
-                    pixel_spacing=None, jp2=False):
+                    pixel_spacing=None, jp2=False, encoder=None):
     """A JPEG 2000 lossless (1.2.840.10008.1.2.4.90) .dcm file with
     encapsulated pixel data — one fragment per frame. jp2=True wraps each
-    codestream in a JP2 container (non-conformant but seen in the wild)."""
+    codestream in a JP2 container (non-conformant but seen in the wild).
+    encoder: optional frame->codestream callable (e.g. an independent
+    OpenJPEG encode for conformance tests); defaults to encode_j2k."""
     from mmnn_sts_tpu.data.dicom import J2K_LOSSLESS
     from mmnn_sts_tpu.data.jpeg2000 import encode_j2k
 
     def enc(frame):
-        blob = encode_j2k(frame, bits, signed=signed)
+        if encoder is not None:
+            blob = encoder(frame)
+        else:
+            blob = encode_j2k(frame, bits, signed=signed)
         if jp2:
             sig = bytes.fromhex("0000000C6A5020200D0A870A")
             ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
