@@ -48,7 +48,7 @@ def main():
     )
 
     with tempfile.TemporaryDirectory() as tmp:
-        uids = [f"P{i:04d}" for i in range(args.n)]
+        uids = list(range(1000, 1000 + args.n))  # patient-key UIDs are ints
         key_csv = str(Path(tmp) / "key.csv")
         anon = make_patient_key(key_csv, uids)
         root = str(Path(tmp) / "imgs")

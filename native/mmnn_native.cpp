@@ -273,6 +273,16 @@ void MaskAndHandleZeros(Volume* img, const Volume& mask, int zero_mode) {
 // data/images.py resize_volume / jax.image.resize(method="linear").
 void ResizeTrilinear(const Volume& in, Volume* out, int64_t m0, int64_t m1,
                      int64_t m2) {
+  if (in.n0 == m0 && in.n1 == m1 && in.n2 == m2) {
+    // identity: the sampling grid hits every source voxel exactly
+    // (half-pixel centers with scale 1 give frac 0, and the clamped last
+    // tap reduces to the last voxel), so copying is bit-identical to the
+    // general path — and matches data/images.py resize_volume, which
+    // skips identity axes. Cohort builds at source==target resolution
+    // were paying the full 8-tap loop for nothing.
+    *out = in;
+    return;
+  }
   out->n0 = m0;
   out->n1 = m1;
   out->n2 = m2;
