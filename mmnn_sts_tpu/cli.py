@@ -80,6 +80,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bootstrap", action="store_true", help="Bootstrap evaluation")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint (new capability)")
+    p.add_argument("--export_path", type=str, default="",
+                   help="Serialize the eval forward (weights baked in) to a "
+                        "portable StableHLO serving artifact and exit "
+                        "(new capability)")
     p.add_argument("--checkpoint_dir", type=str, default="",
                    help="Orbax checkpoint directory (new capability)")
     return p
@@ -299,6 +303,19 @@ def main(argv=None) -> int:
         from .train.lr_finder import find_lr
 
         find_lr(cfg, flags, bundle, mesh)
+        return 0
+
+    if args.export_path:
+        from .infer.export import export_forward
+
+        ds = make_split_dataset(cfg, flags, bundle, test_uids or val_uids,
+                                mesh)
+        sample = ds.model_inputs(idx=slice(0, 1))
+        # eval_transform preprocessing applies to the image stream only;
+        # clinical-only models serve raw features (reference main.py:86-92).
+        export_forward(state, sample, blend=flags.blend,
+                       preprocess=flags.images, path=args.export_path)
+        logger.info(f"Exported serving artifact to {args.export_path}")
         return 0
 
     if args.inference:
