@@ -135,6 +135,7 @@ def train_survival(
     manager = (
         ckpt_lib.CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     )
+    npz_saver = ckpt_lib.AsyncNpzSaver()
 
     best_loss = np.inf
     best_epoch = -1
@@ -315,10 +316,16 @@ def train_survival(
                         epoch + 1, state, {"selection_metric": -selection_loss}
                     )
                 if cfg.save_params_name:
-                    ckpt_lib.save_params_npz(
+                    # Snapshot on device + background write: a synchronous
+                    # npz save here fences the training stream for the full
+                    # device->host parameter fetch (docs/PERF.md).
+                    snap = ckpt_lib.snapshot_params(
+                        {"p": state.params, "b": state.batch_stats}
+                    )
+                    npz_saver.submit(
                         os.path.join(cfg.output_dir, cfg.save_params_name),
-                        state.params,
-                        state.batch_stats,
+                        snap["p"],
+                        snap["b"],
                     )
                 logger.info("saved new best metric model")
             logger.info(
@@ -374,6 +381,7 @@ def train_survival(
         save_blend_history(blend_history, cfg.output_dir)
     save_loss_curves(train_losses, val_losses, cfg.output_dir)
     save_c_score_curves(train_cs, val_cs, cfg.output_dir)
+    npz_saver.close()
     if manager:
         manager.wait()
     metrics.close()
@@ -408,6 +416,7 @@ def train_classification(
     manager = (
         ckpt_lib.CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     )
+    npz_saver = ckpt_lib.AsyncNpzSaver()
     tracker = LossTracker()
 
     best_metric = -1.0
@@ -560,10 +569,13 @@ def train_classification(
                 if manager:
                     manager.save(epoch + 1, state, {"selection_metric": mean_f1})
                 if cfg.save_params_name:
-                    ckpt_lib.save_params_npz(
+                    snap = ckpt_lib.snapshot_params(
+                        {"p": state.params, "b": state.batch_stats}
+                    )
+                    npz_saver.submit(
                         os.path.join(cfg.output_dir, cfg.save_params_name),
-                        state.params,
-                        state.batch_stats,
+                        snap["p"],
+                        snap["b"],
                     )
                 logger.info("saved new best metric model")
             logger.info(
@@ -620,6 +632,7 @@ def train_classification(
             state.params,
             state.batch_stats,
         )
+    npz_saver.close()
     if manager:
         manager.wait()
     metrics.close()

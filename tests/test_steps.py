@@ -122,6 +122,49 @@ def test_npz_roundtrip(tiny_state, tmp_path):
     jax.tree.map(np.testing.assert_array_equal, bs, tiny_state.batch_stats)
 
 
+def test_async_npz_saver_matches_sync(tiny_state, tmp_path):
+    """Snapshot + background write == synchronous save_params_npz; a newer
+    submit for the same path supersedes the older (coalescing)."""
+    saver = ckpt.AsyncNpzSaver()
+    p = str(tmp_path / "m.npz")
+    stale = jax.tree.map(lambda x: x * 0.0, tiny_state.params)
+    snap0 = ckpt.snapshot_params({"p": stale, "b": tiny_state.batch_stats})
+    snap1 = ckpt.snapshot_params(
+        {"p": tiny_state.params, "b": tiny_state.batch_stats}
+    )
+    saver.submit(p, snap0["p"], snap0["b"])
+    saver.submit(p, snap1["p"], snap1["b"])  # supersedes snap0
+    saver.close()
+    params, bs = ckpt.load_params_npz(p, tiny_state.params,
+                                      tiny_state.batch_stats)
+    jax.tree.map(np.testing.assert_array_equal, params, tiny_state.params)
+    jax.tree.map(np.testing.assert_array_equal, bs, tiny_state.batch_stats)
+
+
+def test_async_npz_saver_surfaces_write_errors(tiny_state, tmp_path):
+    saver = ckpt.AsyncNpzSaver()
+    bad = str(tmp_path / "no_such_dir" / "m.npz")
+    saver.submit(bad, tiny_state.params, tiny_state.batch_stats)
+    with pytest.raises(OSError):
+        saver.wait()
+    saver.close()
+
+
+def test_snapshot_survives_donation(tiny_state, rng):
+    """snapshot_params buffers must stay valid after the donating superstep
+    reuses the live state's buffers (the background save reads them later)."""
+    x, e, d = _surv_batch(rng)
+    snap = ckpt.snapshot_params(
+        {"p": tiny_state.params, "b": tiny_state.batch_stats}
+    )
+    before = jax.tree.map(np.asarray, tiny_state.params)
+    st = tiny_state
+    for i in range(2):  # donate_argnums=(0,) — consumes the input buffers
+        st, _ = survival_train_superstep(st, x, e, d, jax.random.key(i),
+                                         blend=False, augment=False)
+    jax.tree.map(np.testing.assert_array_equal, snap["p"], before)
+
+
 def test_orbax_roundtrip(tiny_state, tmp_path, rng):
     x, e, d = _surv_batch(rng)
     st, _ = survival_train_superstep(tiny_state, x, e, d, jax.random.key(0),
