@@ -239,9 +239,12 @@ def main(argv=None) -> int:
 
     state = _commit(state)
 
-    # Weight loading: trained weights for inference, pretrained otherwise
-    weights_path = (hp.model_weights if args.inference else
-                    hp.pretrained_weights) or args.weights
+    # Weight loading: trained weights for inference AND serving export
+    # (an artifact bakes the params in as constants — exporting the
+    # pretrained/random init would silently ship the wrong model),
+    # pretrained otherwise
+    weights_path = (hp.model_weights if (args.inference or args.export_path)
+                    else hp.pretrained_weights) or args.weights
     if weights_path and os.path.exists(weights_path):
         try:
             if weights_path.endswith(".npz"):

@@ -336,6 +336,15 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
         for f in frags[:-1]:
             offsets.append(offsets[-1] + 8 + len(f))
         start_of = {off: i for i, off in enumerate(offsets)}
+        bad = [int(o) for o in bot if int(o) not in start_of]
+        if bad:
+            # corrupt BOT entries must fail with the same clean ValueError
+            # contract as every other malformed-stream path (codec_util.py),
+            # not an unhandled KeyError mid-cohort-build
+            raise ValueError(
+                f"Basic Offset Table offset {bad[0]} does not land on a "
+                "fragment boundary (corrupt BOT)"
+            )
         streams = []
         bounds = [start_of[int(o)] for o in bot] + [len(frags)]
         for a, b in zip(bounds, bounds[1:]):

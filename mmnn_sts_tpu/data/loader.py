@@ -212,7 +212,10 @@ def gather_superbatch(ds: DeviceDataset, idx: np.ndarray, mesh):
         if sh is None:
             return out
         use = sh
-        if sh.spec and _space_ok(out, mesh, batch_dims):
+        # volumes additionally shard depth over 'space' — independent of
+        # whether the mesh has a 'data' axis (volume_sharding emits only
+        # the axes the mesh actually has)
+        if _space_ok(out, mesh, batch_dims):
             use = volume_sharding(mesh, batch_dims - 1)
         return jax.device_put(out, use)
 

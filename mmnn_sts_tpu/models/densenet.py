@@ -183,12 +183,17 @@ class FusedBottleneck(nn.Module):
             mean = jnp.where(any_valid, mean, 0.0)
             var = jnp.where(any_valid, var, 1.0)
             if not self.is_initializing():
+                # torch folds the UNBIASED batch variance into running_var
+                # (models/common.py _TorchSemanticsBatchNorm — the parity
+                # harness measured percent-level eval drift without this)
+                unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
                 m = BN_MOMENTUM
                 ra_mean.value = jnp.where(
                     any_valid, m * ra_mean.value + (1 - m) * mean, ra_mean.value
                 )
                 ra_var.value = jnp.where(
-                    any_valid, m * ra_var.value + (1 - m) * var, ra_var.value
+                    any_valid, m * ra_var.value + (1 - m) * unbiased,
+                    ra_var.value,
                 )
         elif train:
             axes = tuple(range(x.ndim - 1))
@@ -196,9 +201,13 @@ class FusedBottleneck(nn.Module):
             mean = jnp.mean(x32, axis=axes)
             var = jnp.var(x32, axis=axes)
             if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
                 m = BN_MOMENTUM
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
         dtype = self.dtype or x.dtype

@@ -72,16 +72,25 @@ def make_mesh(shape=None, axis_names=("data",), devices=None) -> Mesh:
     return Mesh(dev_array, axis_names[: len(shape)])
 
 
+def has_data_axis(mesh: Mesh) -> bool:
+    return "data" in getattr(mesh, "axis_names", ())
+
+
 def batch_sharding(mesh: Mesh, leading_axis: int = 0) -> NamedSharding:
-    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    """Shard the leading (batch) axis over the 'data' mesh axis (replicated
+    when the mesh has no 'data' axis — e.g. a pure ['space'] mesh — so the
+    spec never names a nonexistent axis)."""
     spec = [None] * (leading_axis + 1)
-    spec[leading_axis] = "data"
+    if has_data_axis(mesh):
+        spec[leading_axis] = "data"
     return NamedSharding(mesh, P(*spec))
 
 
 def microbatched_sharding(mesh: Mesh) -> NamedSharding:
     """(accum_steps, batch, ...) layout: scan axis replicated, batch sharded."""
-    return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(
+        mesh, P(None, "data") if has_data_axis(mesh) else P()
+    )
 
 
 def data_axis_size(mesh: Mesh) -> int:
@@ -105,7 +114,8 @@ def volume_sharding(mesh: Mesh, batch_dim: int = 0) -> NamedSharding:
     volume depth over 'space' (when the mesh has one). batch_dim is the
     index of B; D is batch_dim + 1."""
     spec = [None] * (batch_dim + 2)
-    spec[batch_dim] = "data"
+    if has_data_axis(mesh):
+        spec[batch_dim] = "data"
     if space_axis_size(mesh) > 1:
         spec[batch_dim + 1] = "space"
     return NamedSharding(mesh, P(*spec))

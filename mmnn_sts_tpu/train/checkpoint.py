@@ -140,9 +140,17 @@ class AsyncNpzSaver:
     are skipped (only the latest best ever matters). wait() drains the
     queue and re-raises the first writer error, preserving the
     save-failure semantics of the synchronous path.
+
+    Durability: the training loop logs "saved new best metric model" when
+    the snapshot is QUEUED. So that a crash in a later epoch cannot lose a
+    logged best model (the synchronous save was durable at log time), the
+    saver registers an atexit drain — any interpreter exit short of
+    SIGKILL flushes pending snapshots to disk; writer errors are also
+    logged the moment they happen, not only re-raised at wait().
     """
 
     def __init__(self):
+        import atexit
         import threading
 
         self._lock = threading.Lock()
@@ -155,6 +163,7 @@ class AsyncNpzSaver:
             target=self._run, name="mmnn-npz-saver", daemon=True
         )
         self._thread.start()
+        atexit.register(self._drain_at_exit)
 
     def submit(self, path: str, params, batch_stats=None):
         with self._lock:
@@ -176,6 +185,9 @@ class AsyncNpzSaver:
             try:
                 save_params_npz(path, params, stats)
             except BaseException as e:  # noqa: BLE001 — surfaced via wait()
+                from ..utils.logging import get_logger
+
+                get_logger().error(f"best-model npz write failed: {e!r}")
                 with self._lock:
                     if self._error is None:
                         self._error = e
@@ -194,12 +206,24 @@ class AsyncNpzSaver:
                 err, self._error = self._error, None
                 raise err
 
+    def _drain_at_exit(self):
+        try:
+            with self._lock:
+                done = self._closed and not self._pending and not self._busy
+            if not done:
+                self.wait()
+        except Exception:  # noqa: BLE001 — already logged by the writer
+            pass
+
     def close(self):
+        import atexit
+
         self.wait()
         with self._lock:
             self._closed = True
             self._wake.notify_all()
         self._thread.join(timeout=60)
+        atexit.unregister(self._drain_at_exit)
 
 
 def load_params_npz(path: str, params_template: Any, batch_stats_template=None):

@@ -653,10 +653,11 @@ def train_classification(
 def _data_axis(mesh, micro_batch: int):
     """'data' when the micro-batch divides the mesh's data axis (real DP
     sharding constraint inside the fused epoch program), else None."""
-    from ..parallel.mesh import data_axis_size
+    from ..parallel.mesh import data_axis_size, has_data_axis
 
     n_data = data_axis_size(mesh)
-    if mesh.devices.size > 1 and micro_batch % n_data == 0:
+    if (has_data_axis(mesh) and mesh.devices.size > 1
+            and micro_batch % n_data == 0):
         return "data"
     return None
 

@@ -488,9 +488,14 @@ int DecodeJpegLossless(const uint8_t* buf, int64_t len, uint16_t* out,
     if (marker == 0xD9) break;                       // EOI
     if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) continue;
     int seg_len = (buf[pos] << 8) | buf[pos + 1];
+    // Truncated stream: every segment read below stays inside the buffer
+    // (siblings DecodeJpegLs/DecodeJ2k carry the same check; dropping it
+    // here was a heap over-read on fuzzed/truncated DICOM fragments).
+    if (seg_len < 2 || pos + seg_len > len) return 16;
     const uint8_t* seg = buf + pos + 2;
     int n = seg_len - 2;
     if (marker == 0xC3) {  // SOF3
+      if (n < 6) return 16;
       precision = seg[0];
       rows = (seg[1] << 8) | seg[2];
       cols = (seg[3] << 8) | seg[4];
@@ -499,18 +504,22 @@ int DecodeJpegLossless(const uint8_t* buf, int64_t len, uint16_t* out,
     } else if (marker == 0xC4) {  // DHT
       int off = 0;
       while (off < n) {
+        if (off + 17 > n) return 16;
         int th = seg[off] & 0x0F;
         int nsym = 0;
         for (int i = 0; i < 16; ++i) nsym += seg[off + 1 + i];
-        if (th > 3 || nsym > 256) return 13;
+        if (th > 3 || nsym > 256 || off + 17 + nsym > n) return 13;
         tables[th].Build(seg + off + 1, seg + off + 17, nsym);
         off += 17 + nsym;
       }
     } else if (marker == 0xDD) {  // DRI
+      if (n < 2) return 16;
       restart_interval = (seg[0] << 8) | seg[1];
     } else if (marker == 0xDA) {  // SOS
+      if (n < 1) return 16;
       int ns = seg[0];
       if (ns != 1) return 12;
+      if (n < 4 + 2 * ns) return 16;
       comp_table = seg[2] >> 4;
       predictor = seg[1 + 2 * ns];
       point_transform = seg[3 + 2 * ns] & 0x0F;
@@ -1491,6 +1500,9 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
   // Collect tile-part data (tile 0 only).
   std::vector<uint8_t> tile;
   while (pos + 4 <= len && u16(pos) == 0xFF90) {
+    // Full SOT header is 12 bytes (marker + Lsot=10); the u16/u32 reads
+    // below must stay inside the buffer on truncated streams.
+    if (pos + 12 > len) return 72;
     if (u16(pos + 2) != 10) return 72;
     int isot = u16(pos + 4);
     uint32_t psot = u32(pos + 6);
@@ -1504,6 +1516,9 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
       else return 73;
     }
     if (p + 2 > len) return 72;
+    // A corrupt Psot < the tile-part header size would hand vector::insert
+    // a reversed range (UB / giant allocation) — reject instead.
+    if (end < p + 2) return 72;
     tile.insert(tile.end(), buf + p + 2, buf + end);
     pos = end;
   }

@@ -122,6 +122,77 @@ def test_native_decoders_never_crash(native_mod):
                 pass
 
 
+def test_native_jpeg_lossless_truncated_segment_is_rejected(native_mod):
+    """A stream truncated mid-segment (seg_len points past the buffer)
+    must fail cleanly — the SOF3/DHT/SOS parsers read the declared segment
+    body, so a missing bounds check was a heap over-read."""
+    rng = np.random.default_rng(37)
+    img = _image(rng)
+    h, w = img.shape
+    blob = encode_jpeg_lossless_sv1(img, 12)
+    # SOI + SOF3 marker claiming a 0x4000-byte segment in a 6-byte stream
+    crafted = bytes([0xFF, 0xD8, 0xFF, 0xC3, 0x40, 0x00])
+    for mut in (crafted, blob[:6]):  # truncated IN a segment header
+        with pytest.raises(ValueError):
+            native_mod.jpeg_lossless_decode_native(mut, h, w)
+    # truncated in the entropy scan: decoding garbage is legitimate, a
+    # crash is not
+    try:
+        out = native_mod.jpeg_lossless_decode_native(blob[: len(blob) // 3],
+                                                     h, w)
+        assert out is None or isinstance(out, np.ndarray)
+    except ValueError:
+        pass
+
+
+def test_native_j2k_corrupt_psot_is_rejected(native_mod):
+    """Psot < the 14-byte tile-part header (a single bit flip away) once
+    handed vector::insert a reversed range — must be a clean refusal."""
+    rng = np.random.default_rng(38)
+    img = _image(rng)
+    h, w = img.shape
+    blob = bytearray(encode_j2k(img, 12))
+    sot = blob.find(b"\xff\x90")
+    assert sot > 0
+    for psot in (1, 5, 13):
+        b = bytearray(blob)
+        b[sot + 6 : sot + 10] = int(psot).to_bytes(4, "big")
+        try:
+            out = native_mod.j2k_decode_native(bytes(b), h, w)
+            assert out is None
+        except ValueError:
+            pass
+    # truncation right after the SOT marker: the 12-byte header read must
+    # stay in bounds
+    try:
+        out = native_mod.j2k_decode_native(bytes(blob[: sot + 4]), h, w)
+        assert out is None
+    except ValueError:
+        pass
+
+
+def test_corrupt_bot_offset_raises_value_error():
+    """A Basic Offset Table entry that lands between fragment boundaries is
+    untrusted-input, not a KeyError (the cohort build's per-patient
+    fallback catches ValueError)."""
+    from mmnn_sts_tpu.data.dicom import (
+        JPEG_LS_LOSSLESS,
+        DicomSlice,
+        _decode_fragments,
+    )
+
+    rng = np.random.default_rng(39)
+    img = _image(rng, h=8, w=8, hi=255)
+    frag = encode_jpeg_ls(img, 8)
+    s = DicomSlice(rows=8, cols=8, bits_allocated=8,
+                   transfer_syntax=JPEG_LS_LOSSLESS,
+                   fragments=[frag, frag, frag], number_of_frames=2)
+    # valid frame starts are 0 and 8+len(frag); 3 is neither
+    s.extra["bot"] = np.asarray([0, 3], dtype="<u4").tobytes()
+    with pytest.raises(ValueError, match="fragment boundary"):
+        _decode_fragments(s)
+
+
 def test_native_rejects_oversized_header_dims(native_mod):
     """The caller sizes the output buffer from the DICOM tags; a stream whose
     own header claims LARGER dims must be refused, not written out of

@@ -469,3 +469,64 @@ def test_cli_fused_epoch_mode(cohort_cfg, tmp_path):
     assert len(lines) == 2 and all(
         np.isfinite(d["val_loss"]) for d in lines
     )
+
+
+def test_cli_export_uses_trained_weights(cohort_cfg, tmp_path):
+    """--export_path must bake Hyperparameters.model_weights (the trained
+    model) into the artifact — NOT the pretrained/random init the training
+    path starts from (regression: the export once reused the training-path
+    weight selection and silently shipped an untrained artifact)."""
+    import numpy as np
+
+    from mmnn_sts_tpu.infer.export import load_exported
+
+    root = cohort_cfg["root"]
+    out = tmp_path / "train"
+    out.mkdir()
+    rc = _run_cli(
+        [
+            "--survival", "--preop", "--epochs", "2",
+            "--config", cohort_cfg["config"],
+            "--output_path", str(out),
+            "--train_uid_location", os.path.join(root, "train_uids.txt"),
+            "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        ],
+        root,
+    )
+    assert rc == 0
+    trained = out / "best_surv_model.npz"
+    assert trained.exists()
+
+    cfg_trained = str(tmp_path / "cfg_trained.yaml")
+    with open(cohort_cfg["config"]) as f:
+        base = f.read()
+    with open(cfg_trained, "w") as f:
+        f.write(base + f"\n  model_weights: '{trained}'\n")
+    # (appends into the Hyperparameters section, which ends the file)
+
+    common = [
+        "--survival", "--preop",
+        "--train_uid_location", os.path.join(root, "train_uids.txt"),
+        "--val_uid_location", os.path.join(root, "val_uids.txt"),
+        "--output_path", str(tmp_path),
+    ]
+    art_trained = tmp_path / "trained.stablehlo"
+    rc = _run_cli(
+        common + ["--config", cfg_trained, "--export_path", str(art_trained)],
+        root,
+    )
+    assert rc == 0
+    art_init = tmp_path / "init.stablehlo"
+    rc = _run_cli(
+        common + ["--config", cohort_cfg["config"],
+                  "--export_path", str(art_init)],
+        root,
+    )
+    assert rc == 0
+
+    x = np.linspace(-1.0, 1.0, 11 * 3, dtype=np.float32).reshape(3, 11)
+    p_trained = np.asarray(load_exported(str(art_trained))(x))
+    p_init = np.asarray(load_exported(str(art_init))(x))
+    assert p_trained.shape == p_init.shape == (3, 2)
+    # trained weights differ from the seed-42 random init after 2 epochs
+    assert not np.allclose(p_trained, p_init)

@@ -42,6 +42,37 @@ def test_mesh_axis_sizes():
     assert data_axis_size(flat) == 8
 
 
+def test_space_only_mesh_never_names_a_missing_data_axis():
+    """A mesh without a 'data' axis (pure spatial partitioning) must get
+    replicated batch specs, not a trace-time crash on P(..., 'data')."""
+    from mmnn_sts_tpu.data.loader import build_device_dataset
+    from mmnn_sts_tpu.parallel.mesh import (
+        batch_sharding,
+        microbatched_sharding,
+    )
+    from mmnn_sts_tpu.train.loop import _data_axis
+
+    mesh = make_mesh(shape=[8], axis_names=("space",))
+    assert batch_sharding(mesh).spec == P(None)
+    assert microbatched_sharding(mesh).spec == P()
+    assert volume_sharding(mesh, 0).spec == P(None, "space")
+    assert _data_axis(mesh, 8) is None
+    # end-to-end: residency placement + a batch gather on that mesh
+    rng = np.random.default_rng(0)
+    ds = build_device_dataset(
+        uids=np.arange(16),
+        mesh=mesh,
+        image_volumes=rng.normal(size=(16, 8, 8, 8, 1)).astype(np.float32),
+        events=(rng.random((16, 2)) < 0.7).astype(np.float32),
+        durations=rng.integers(1, 50, (16, 2)).astype(np.float32),
+    )
+    from mmnn_sts_tpu.data.loader import gather_superbatch
+
+    batch = gather_superbatch(ds, np.arange(8).reshape(2, 4), mesh)
+    assert batch["inputs"].shape == (2, 4, 8, 8, 8, 1)  # image-only: bare
+    assert "space" in str(batch["inputs"].sharding.spec)
+
+
 def test_volume_sharding_specs():
     mesh = _space_mesh()
     assert volume_sharding(mesh, 0).spec == P("data", "space")
