@@ -11,12 +11,12 @@ Explicit VR Big Endian (1.2.840.10008.1.2.2) with uncompressed 8/16-bit
 pixel data — the common export formats for the MRI/DicomRT data the
 reference handles — plus the compressed syntaxes JPEG Lossless process 14
 (data/jpeg_lossless.py), RLE (data/dicom_rle.py), JPEG-LS lossless /
-near-lossless (data/jpeg_ls.py), JPEG 2000 (data/jpeg2000.py; lossless
-always, .91 raises only when actually irreversible), and lossy
-sequential-DCT JPEG baseline/extended (data/jpeg_baseline.py). Every
-lossless syntax and the lossy JPEG family decode natively; the one
-exclusion is irreversible-wavelet JPEG 2000 (intent decision in
-PARITY.md), which raises with a conversion hint.
+near-lossless (data/jpeg_ls.py), JPEG 2000 reversible AND irreversible
+(data/jpeg2000.py), and lossy sequential-DCT JPEG baseline/extended
+(data/jpeg_baseline.py). Every syntax GDCM decoded for the reference's
+cohorts decodes natively here; lossy decodes (.50/.51/.91-irreversible)
+match the GDCM-ecosystem result within the codec's documented tolerance
+and training proceeds on the lossy samples, as it did for the reference.
 
 Slice ordering: by ImagePositionPatient projected on the slice normal when
 available, else InstanceNumber — matching GDCM's series sorting behavior.
@@ -49,8 +49,9 @@ RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 # JPEG 2000 (ITU-T T.800): .90 = reversible-only (lossless), .91 = may be
-# lossy. Decoded by data/jpeg2000.py; irreversible .91 streams raise there
-# with a conversion hint.
+# lossy. Decoded by data/jpeg2000.py — reversible streams exactly,
+# irreversible (9/7, scalar-quantized) ones within float rounding of the
+# OpenJPEG/GDCM result; like .50/.51, training proceeds on lossy samples.
 J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
 J2K = "1.2.840.10008.1.2.4.91"
 # Lossy sequential-DCT JPEG (T.81): .50 = baseline 8-bit, .51 = extended

@@ -1,15 +1,21 @@
-"""JPEG 2000 Part 1 (ITU-T T.800 / ISO 15444-1) lossless codec — pure python.
+"""JPEG 2000 Part 1 (ITU-T T.800 / ISO 15444-1) codec — pure python.
 
-Completes the lossless compressed-DICOM coverage alongside JPEG Lossless
+Completes the compressed-DICOM coverage alongside JPEG Lossless
 process 14 (data/jpeg_lossless.py), RLE (data/dicom_rle.py) and JPEG-LS
 (data/jpeg_ls.py): the reference decoded JPEG 2000 for free through
-SimpleITK/GDCM+OpenJPEG (/root/reference/data/s3utils.py:244-265), and
-1.2.840.10008.1.2.4.90 (J2K lossless) is a common PACS archive syntax.
+SimpleITK/GDCM+OpenJPEG (/root/reference/data/s3utils.py:244-265);
+1.2.840.10008.1.2.4.90 (J2K lossless) is a common PACS archive syntax and
+.91 (J2K, possibly lossy) a common teleradiology export.
 Written from the public T.800 spec; no code from OpenJPEG, Kakadu, or GDCM.
 
 Decoder scope (the shape of real DICOM mono exports):
 - single component, single tile, zero image/tile offsets
-- reversible 5/3 wavelet, reversible (no) quantization
+- reversible 5/3 wavelet with no quantization, AND irreversible 9/7
+  wavelet with scalar quantization (derived or expounded), midpoint
+  reconstruction of partially-decoded coefficients — like the lossy
+  sequential-DCT JPEG syntaxes (.50/.51), lossy decodes match the
+  OpenJPEG/GDCM result within float rounding, not bit-exactly (T.800
+  mandates no exact real-arithmetic result)
 - default precincts (one per resolution), any code-block size
 - any number of layers and decomposition levels; all five progression
   orders (they coincide for single-component/single-precinct streams)
@@ -223,6 +229,108 @@ def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Irreversible 9/7 wavelet (Annex F, Table F.4). Same even-start /
+# clamped-neighbor symmetric extension as the 5/3 above, in float64.
+# Analysis scales the lowpass by 1/K and the highpass by K (the spec's
+# 1D_SD steps 5-6); synthesis undoes that before un-lifting — the
+# convention is pinned by the OpenJPEG interop tests (a swapped or
+# missing scale step is off by K^2 per level and fails them wildly).
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924  # lifting steps 1-4 (T.800 Table F.4)
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _odd_neighbors(e: np.ndarray, no: int):
+    """(left, right) even neighbors of each odd sample, edge-clamped."""
+    if e.shape[-1] == no:
+        right = np.concatenate([e[..., 1:], e[..., -1:]], axis=-1)
+    else:
+        right = e[..., 1:]
+    return e[..., :no], right
+
+
+def _even_neighbors(d: np.ndarray, ne: int):
+    """(left, right) odd neighbors of each even sample, edge-clamped."""
+    dm1 = np.concatenate([d[..., :1], d], axis=-1)[..., :ne]
+    dk = d if d.shape[-1] == ne else np.concatenate([d, d[..., -1:]], axis=-1)
+    return dm1, dk[..., :ne]
+
+
+def _dwt97_split_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1D 9/7 analysis along the last axis -> (low, high), float64."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[-1]
+    if n == 1:
+        return x.copy(), x[..., :0].copy()
+    e = x[..., 0::2].copy()
+    o = x[..., 1::2].copy()
+    ne, no = e.shape[-1], o.shape[-1]
+    l, r = _odd_neighbors(e, no)
+    o += _A97 * (l + r)
+    l, r = _even_neighbors(o, ne)
+    e += _B97 * (l + r)
+    l, r = _odd_neighbors(e, no)
+    o += _G97 * (l + r)
+    l, r = _even_neighbors(o, ne)
+    e += _D97 * (l + r)
+    return e * (1.0 / _K97), o * _K97
+
+
+def _dwt97_merge_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """1D 9/7 synthesis along the last axis; inverse of _dwt97_split_1d."""
+    ne, no = s.shape[-1], d.shape[-1]
+    n = ne + no
+    s = np.asarray(s, np.float64)
+    if n == 1:
+        return s.copy()
+    e = s * _K97
+    o = np.asarray(d, np.float64) * (1.0 / _K97)
+    l, r = _even_neighbors(o, ne)
+    e = e - _D97 * (l + r)
+    l, r = _odd_neighbors(e, no)
+    o = o - _G97 * (l + r)
+    l, r = _even_neighbors(o, ne)
+    e = e - _B97 * (l + r)
+    l, r = _odd_neighbors(e, no)
+    o = o - _A97 * (l + r)
+    out = np.empty(s.shape[:-1] + (n,), np.float64)
+    out[..., 0::2] = e
+    out[..., 1::2] = o
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int):
+    """Float 9/7 analogue of dwt53_forward (VER then HOR per level)."""
+    ll = np.asarray(img, np.float64)
+    bands = []
+    for _ in range(levels):
+        if ll.shape[-1] < 1 or ll.shape[-2] < 1:
+            raise ValueError("too many DWT levels for image size")
+        lo_y, hi_y = _dwt97_split_1d(ll.swapaxes(-1, -2))
+        lo_y = lo_y.swapaxes(-1, -2)
+        hi_y = hi_y.swapaxes(-1, -2)
+        ll, hl = _dwt97_split_1d(lo_y)
+        lh, hh = _dwt97_split_1d(hi_y)
+        bands.append((hl, lh, hh))
+    return ll, bands[::-1]
+
+
+def dwt97_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of dwt97_forward; `bands` coarsest-first, HOR then VER."""
+    ll = np.asarray(ll, np.float64)
+    for hl, lh, hh in bands:
+        lo_y = _dwt97_merge_1d(ll, hl)
+        hi_y = _dwt97_merge_1d(lh, hh)
+        ll = _dwt97_merge_1d(lo_y.swapaxes(-1, -2),
+                             hi_y.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return ll
+
+
+# ---------------------------------------------------------------------------
 # EBCOT Tier-1 coefficient coding (Annex D). One engine drives both encode
 # and decode through a `side` object, so the context-model control flow is
 # identical by construction; only the bit source/sink differs.
@@ -290,16 +398,21 @@ def _sign_ctx(sgn, x: int, y: int) -> tuple[int, int]:
 
 
 def _t1_run_passes(side, mag, sgn_bits, w: int, h: int, band: str,
-                   msb: int, numpasses: int) -> None:
+                   msb: int, numpasses: int, lastp=None) -> None:
     """Run `numpasses` coding passes starting at bitplane `msb`.
 
     mag: (h, w) int64 — encoder: true magnitudes (read); decoder: zeros
     (built up). sgn_bits: (h, w) uint8 sign bits, same convention.
+    lastp: optional (h, w) int64 — decoder side, records the bitplane of
+    each coefficient's last decoded magnitude bit (significance or
+    refinement); the remaining uncertainty interval is 2^lastp wide, which
+    drives the midpoint reconstruction of quantized (9/7) streams.
     """
     sig = np.zeros((h + 2, w + 2), np.uint8)
     sgn = np.zeros((h + 2, w + 2), np.int8)
     refined = np.zeros((h, w), bool)
     visited = np.zeros((h, w), bool)
+    track = lastp is not None
 
     def code_sign(x: int, y: int) -> None:
         ctx, xorbit = _sign_ctx(sgn, x + 1, y + 1)
@@ -321,6 +434,8 @@ def _t1_run_passes(side, mag, sgn_bits, w: int, h: int, band: str,
                     if side.bit(ctx, (int(mag[y, x]) >> p) & 1):
                         mag[y, x] |= 1 << p
                         code_sign(x, y)
+                        if track:
+                            lastp[y, x] = p
 
     def pass_mrp(p: int) -> None:
         for y0 in range(0, h, 4):
@@ -341,6 +456,8 @@ def _t1_run_passes(side, mag, sgn_bits, w: int, h: int, band: str,
                     else:
                         mag[y, x] &= ~(1 << p)
                     refined[y, x] = True
+                    if track:
+                        lastp[y, x] = p
 
     def pass_cleanup(p: int) -> None:
         for y0 in range(0, h, 4):
@@ -367,6 +484,8 @@ def _t1_run_passes(side, mag, sgn_bits, w: int, h: int, band: str,
                         y = y0 + r
                         mag[y, x] |= 1 << p
                         code_sign(x, y)
+                        if track:
+                            lastp[y, x] = p
                         start = r + 1
                 for dy in range(start, 4 if full else h - y0):
                     y = y0 + dy
@@ -376,6 +495,8 @@ def _t1_run_passes(side, mag, sgn_bits, w: int, h: int, band: str,
                     if side.bit(ctx, (int(mag[y, x]) >> p) & 1):
                         mag[y, x] |= 1 << p
                         code_sign(x, y)
+                        if track:
+                            lastp[y, x] = p
 
     passno = 0
     p = msb
@@ -417,16 +538,19 @@ def t1_encode_block(mag: np.ndarray, sgn_bits: np.ndarray, band: str,
 
 
 def t1_decode_block(data: bytes, w: int, h: int, band: str, mb: int,
-                    zbp: int, numpasses: int) -> np.ndarray:
-    """-> (h, w) int64 signed coefficients."""
+                    zbp: int, numpasses: int, want_lastp: bool = False):
+    """-> (h, w) int64 signed coefficients; with want_lastp, a second
+    (h, w) int64 array of each coefficient's last-decoded bitplane."""
     mag = np.zeros((h, w), np.int64)
     sgn_bits = np.zeros((h, w), np.uint8)
+    lastp = np.zeros((h, w), np.int64) if want_lastp else None
     msb = mb - 1 - zbp
     if msb < 0:
         raise ValueError("zero-bitplane count exceeds Mb")
     side = _DecSide(data)
-    _t1_run_passes(side, mag, sgn_bits, w, h, band, msb, numpasses)
-    return np.where(sgn_bits > 0, -mag, mag)
+    _t1_run_passes(side, mag, sgn_bits, w, h, band, msb, numpasses, lastp)
+    signed = np.where(sgn_bits > 0, -mag, mag)
+    return (signed, lastp) if want_lastp else signed
 
 
 # ---------------------------------------------------------------------------
@@ -754,7 +878,9 @@ class _CodingParams:
     prog = 0
     use_sop = use_eph = False
     guard = 2
-    exps: list | None = None
+    reversible = True
+    qstyle = 0  # 0 = none, 1 = scalar derived, 2 = scalar expounded
+    quant: list | None = None  # [(eps, mu), ...] per subband (style 0: mu=0)
 
 
 def _parse_main_header(buf: bytes, pos: int) -> tuple[_CodingParams, int]:
@@ -810,11 +936,13 @@ def _parse_main_header(buf: bytes, pos: int) -> tuple[_CodingParams, int]:
                     "JPEG 2000 code-block style 0x%02x unsupported (bypass/"
                     "reset/termination/causal/segmentation)" % body[8]
                 )
-            if body[9] != 1:
+            if body[9] == 1:
+                cp.reversible = True
+            elif body[9] == 0:
+                cp.reversible = False  # irreversible 9/7 (lossy)
+            else:
                 raise ValueError(
-                    "irreversible (9/7) JPEG 2000 is lossy — convert the "
-                    "export to lossless or uncompressed"
-                )
+                    f"JPEG 2000 transform type {body[9]} unknown")
             if scod & 1:  # explicit precincts: accept only whole-resolution
                 sizes = body[10:]
                 if len(sizes) < cp.levels + 1:
@@ -832,12 +960,21 @@ def _parse_main_header(buf: bytes, pos: int) -> tuple[_CodingParams, int]:
             sqcd = body[0]
             style = sqcd & 0x1F
             cp.guard = sqcd >> 5
-            if style != 0:
-                raise ValueError(
-                    "JPEG 2000 scalar-quantized (lossy) stream — convert "
-                    "the export to lossless or uncompressed"
-                )
-            cp.exps = [b >> 3 for b in body[1:]]
+            cp.qstyle = style
+            if style == 0:  # no quantization: one exponent byte per subband
+                cp.quant = [(b >> 3, 0) for b in body[1:]]
+            elif style in (1, 2):  # scalar derived / expounded: 16-bit each
+                if (len(body) - 1) % 2:
+                    raise ValueError("QCD scalar entries truncated")
+                cp.quant = [
+                    (_u16(body, 1 + 2 * i) >> 11,
+                     _u16(body, 1 + 2 * i) & 0x7FF)
+                    for i in range((len(body) - 1) // 2)
+                ]
+                if not cp.quant:
+                    raise ValueError("QCD has no quantization entries")
+            else:
+                raise ValueError(f"JPEG 2000 QCD style {style} unknown")
         elif marker in (COC, QCC, POC, RGN, PPM):
             raise ValueError(
                 f"JPEG 2000 marker 0x{marker:04X} unsupported "
@@ -851,6 +988,12 @@ def _parse_main_header(buf: bytes, pos: int) -> tuple[_CodingParams, int]:
         seen.add(marker)
     if SIZ not in seen or COD not in seen or QCD not in seen:
         raise ValueError("JPEG 2000 main header missing SIZ/COD/QCD")
+    if cp.reversible != (cp.qstyle == 0):
+        # T.800 pairs 5/3 with no-quantization and 9/7 with scalar (E.1)
+        raise ValueError(
+            "JPEG 2000 transform/quantization mismatch (5/3 requires QCD "
+            "style 0, 9/7 requires scalar quantization)"
+        )
     return cp, pos
 
 
@@ -907,21 +1050,30 @@ def _strip_jp2(buf: bytes) -> bytes:
     raise ValueError("JP2 container has no codestream (jp2c) box")
 
 
-def _band_eps(cp: _CodingParams, r: int, bi: int) -> int:
-    """Exponent for resolution r, band index bi within the resolution."""
-    exps = cp.exps
-    if len(exps) == 1:  # "derived" would differ, but style 0 lists all
-        return exps[0]
+def _band_quant(cp: _CodingParams, r: int, bi: int) -> tuple[int, int]:
+    """(exponent, mantissa) for resolution r, band index bi within it."""
+    quant = cp.quant
+    if cp.qstyle == 1:
+        # scalar derived (E-5): one (eps0, mu0) for the N_L-level LL;
+        # a band produced at decomposition level `lev` uses
+        # eps = eps0 - N_L + lev (finer bands -> smaller eps -> larger step)
+        eps0, mu0 = quant[0]
+        lev = cp.levels if r == 0 else cp.levels - r + 1
+        return eps0 - cp.levels + lev, mu0
+    if len(quant) == 1:  # degenerate style-0 single entry: replicate
+        return quant[0]
     idx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
-    if idx >= len(exps):
-        raise ValueError("QCD has too few subband exponents")
-    return exps[idx]
+    if idx >= len(quant):
+        raise ValueError("QCD has too few subband entries")
+    return quant[idx]
 
 
 @corrupt_stream_guard
 def decode_j2k(buf: bytes) -> np.ndarray:
-    """Decode a lossless JPEG 2000 codestream (or JP2 file) -> (rows, cols)
-    int64 sample values (negative iff the stream is signed)."""
+    """Decode a JPEG 2000 codestream (or JP2 file) -> (rows, cols) int64
+    sample values (negative iff the stream is signed). Reversible (5/3)
+    streams decode exactly; irreversible (9/7, scalar-quantized) streams
+    decode with midpoint reconstruction like OpenJPEG/GDCM."""
     buf = _strip_jp2(bytes(buf))
     try:
         cp, pos = _parse_main_header(buf, 0)
@@ -949,23 +1101,50 @@ def decode_j2k(buf: bytes) -> np.ndarray:
         p = _parse_packet(tile, p, bands_per_res[r], layer,
                           cp.use_sop, cp.use_eph)
 
+    fcoeffs = None
+    if not cp.reversible:
+        fcoeffs = [
+            [np.zeros((band.h, band.w), np.float64) for band in bands]
+            for bands in bands_per_res
+        ]
     for r, bands in enumerate(bands_per_res):
         for bi, band in enumerate(bands):
-            mb = cp.guard + _band_eps(cp, r, bi) - 1
+            eps, mu = _band_quant(cp, r, bi)
+            mb = cp.guard + eps - 1
+            if not cp.reversible:
+                # Delta_b = 2^(R_b - eps) * (1 + mu/2^11), R_b = depth + gain
+                delta = 2.0 ** (cp.depth + band.gain - eps) * (1 + mu / 2048)
             for row in band.blocks:
                 for blk in row:
                     if not blk.included or blk.numpasses == 0:
                         continue
-                    coeff = t1_decode_block(
-                        bytes(blk.data), blk.w, blk.h, band.name, mb,
-                        blk.zbp, blk.numpasses)
-                    band.coeffs[blk.y0 : blk.y0 + blk.h,
-                                blk.x0 : blk.x0 + blk.w] = coeff
+                    if cp.reversible:
+                        coeff = t1_decode_block(
+                            bytes(blk.data), blk.w, blk.h, band.name, mb,
+                            blk.zbp, blk.numpasses)
+                        band.coeffs[blk.y0 : blk.y0 + blk.h,
+                                    blk.x0 : blk.x0 + blk.w] = coeff
+                    else:
+                        coeff, lastp = t1_decode_block(
+                            bytes(blk.data), blk.w, blk.h, band.name, mb,
+                            blk.zbp, blk.numpasses, want_lastp=True)
+                        # midpoint of the remaining uncertainty interval:
+                        # |q| known down to bitplane lastp -> + 2^lastp / 2
+                        mag = np.abs(coeff).astype(np.float64)
+                        mag += np.where(mag > 0, 0.5 * 2.0 ** lastp, 0.0)
+                        fcoeffs[r][bi][blk.y0 : blk.y0 + blk.h,
+                                       blk.x0 : blk.x0 + blk.w] = (
+                            np.sign(coeff) * mag * delta)
 
-    ll = bands_per_res[0][0].coeffs
-    hi = [tuple(b.coeffs for b in bands_per_res[r])
-          for r in range(1, cp.levels + 1)]
-    img = dwt53_inverse(ll, hi)
+    if cp.reversible:
+        ll = bands_per_res[0][0].coeffs
+        hi = [tuple(b.coeffs for b in bands_per_res[r])
+              for r in range(1, cp.levels + 1)]
+        img = dwt53_inverse(ll, hi)
+    else:
+        ll = fcoeffs[0][0]
+        hi = [tuple(fcoeffs[r]) for r in range(1, cp.levels + 1)]
+        img = np.rint(dwt97_inverse(ll, hi)).astype(np.int64)
     if cp.signed:
         lo, hic = -(1 << (cp.depth - 1)), (1 << (cp.depth - 1)) - 1
     else:
@@ -976,13 +1155,19 @@ def decode_j2k(buf: bytes) -> np.ndarray:
 
 def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
                levels: int | None = None, cblk: int = 64,
-               layers: int = 1) -> bytes:
-    """Encode (rows, cols) integer samples as a lossless LRCP JPEG 2000
-    codestream (for tests/fixtures; see module docstring). layers > 1
-    splits each block's coding passes across quality layers — with style-0
+               layers: int = 1, irreversible: bool = False,
+               qdrop: int = 0, derived: bool = False) -> bytes:
+    """Encode (rows, cols) integer samples as an LRCP JPEG 2000 codestream
+    (for tests/fixtures; see module docstring). layers > 1 splits each
+    block's coding passes across quality layers — with style-0
     (non-terminated) segments the byte split is arbitrary, so this
     exercises a decoder's multi-layer accumulation path exactly as a
-    rate-allocating encoder would."""
+    rate-allocating encoder would.
+
+    irreversible=True uses the 9/7 wavelet with scalar quantization:
+    expounded (QCD style 2) by default, derived (style 1) with
+    derived=True. qdrop coarsens every step size by 2^qdrop — qdrop=0 is
+    near-lossless (step 1.0 absorbs only the float->int rounding)."""
     img = np.asarray(img, np.int64)
     h, w = img.shape
     if signed:
@@ -998,13 +1183,38 @@ def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
         xcb = ycb = 6
     cbw, cbh = 1 << xcb, 1 << ycb
 
-    shifted = img if signed else img - (1 << (depth - 1))
-    ll, hi_bands = dwt53_forward(shifted, levels)
-
     layout = _band_layout(w, h, levels)
     guard = 2
+    shifted = img if signed else img - (1 << (depth - 1))
+
+    def band_lev(r: int) -> int:  # decomposition level that produced res r
+        return levels if r == 0 else levels - r + 1
+
+    def band_eps(r: int, gain: int) -> int:
+        if not irreversible:
+            return depth + gain
+        if derived:  # E-5: eps = eps0 - N_L + lev, eps0 covers the LL
+            return (depth - qdrop) - levels + band_lev(r)
+        return depth + gain - qdrop
+
+    if irreversible:
+        ll, hi_bands = dwt97_forward(shifted, levels)
+        # quantize: q = sign(c) * floor(|c| / Delta_b), Delta = 2^(R-eps)
+        quantized = []
+        for r, row in enumerate(layout):
+            qrow = []
+            for bi, (name, bw, bh, gain) in enumerate(row):
+                c = ll if r == 0 else hi_bands[r - 1][bi]
+                delta = 2.0 ** (depth + gain - band_eps(r, gain))
+                qrow.append((np.sign(c)
+                             * np.floor(np.abs(c) / delta)).astype(np.int64))
+            quantized.append(qrow)
+        all_coeffs = quantized
+    else:
+        ll, hi_bands = dwt53_forward(shifted, levels)
+        all_coeffs = [[ll]] + [list(t) for t in hi_bands]
+
     bands_per_res = []
-    all_coeffs = [[ll]] + [list(t) for t in hi_bands]
     for r, row in enumerate(layout):
         bands = []
         for bi, (name, bw, bh, gain) in enumerate(row):
@@ -1020,7 +1230,7 @@ def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
         for bi, band in enumerate(bands):
             if band.nbx == 0 or band.nby == 0:
                 continue
-            mb = guard + (depth + band.gain) - 1
+            mb = guard + band_eps(r, band.gain) - 1
             incl = np.full((band.nby, band.nbx), layers,
                            np.int64)  # layers = never included
             zbps = np.zeros((band.nby, band.nbx), np.int64)
@@ -1050,13 +1260,24 @@ def encode_j2k(img: np.ndarray, depth: int = 16, signed: bool = False,
            + bytes(8) + b"\x00\x01"
            + bytes(((depth - 1) | (0x80 if signed else 0), 1, 1)))
     cod = bytes((0, 0)) + layers.to_bytes(2, "big") + bytes(
-        (0, levels, xcb - 2, ycb - 2, 0, 1))
+        (0, levels, xcb - 2, ycb - 2, 0, 0 if irreversible else 1))
     nsub = 1 + 3 * levels
-    exps = []
-    for r, row in enumerate(layout):
-        for name, bw, bh, gain in row:
-            exps.append(depth + gain)
-    qcd = bytes((guard << 5,)) + bytes(e << 3 for e in exps[:nsub])
+    if not irreversible:
+        exps = []
+        for r, row in enumerate(layout):
+            for name, bw, bh, gain in row:
+                exps.append(depth + gain)
+        qcd = bytes((guard << 5,)) + bytes(e << 3 for e in exps[:nsub])
+    elif derived:
+        qcd = bytes((1 | (guard << 5),)) + (
+            (depth - qdrop) << 11).to_bytes(2, "big")
+    else:
+        words = []
+        for r, row in enumerate(layout):
+            for name, bw, bh, gain in row:
+                words.append(band_eps(r, gain) << 11)
+        qcd = bytes((2 | (guard << 5),)) + b"".join(
+            wd.to_bytes(2, "big") for wd in words[:nsub])
     sot_body_len = 12 + 2 + len(tile)  # SOT seg + SOD marker + data
     sot = (SOT.to_bytes(2, "big") + (10).to_bytes(2, "big")
            + (0).to_bytes(2, "big") + sot_body_len.to_bytes(4, "big")

@@ -983,12 +983,13 @@ int DecodeJpegLs(const uint8_t* buf, int64_t len, uint16_t* out,
 }
 
 // ---------------------------------------------------------------------------
-// JPEG 2000 Part 1 (ITU-T T.800) lossless decode — fast path for compressed
-// DICOM transfer syntaxes 1.2.840.10008.1.2.4.90/.91. Mirror of the python
+// JPEG 2000 Part 1 (ITU-T T.800) decode — fast path for compressed DICOM
+// transfer syntaxes 1.2.840.10008.1.2.4.90/.91. Mirror of the python
 // oracle in mmnn_sts_tpu/data/jpeg2000.py (tested against it); written from
 // the public T.800 spec, no OpenJPEG/Kakadu/GDCM code. Same scope as the
-// python decoder (single component/tile, 5/3 reversible, default precincts,
-// code-block style 0); any nonzero return sends the caller to python.
+// python decoder (single component/tile; reversible 5/3 AND irreversible
+// 9/7 with scalar quantization + midpoint reconstruction; default
+// precincts, code-block style 0); nonzero return sends the caller to python.
 // ---------------------------------------------------------------------------
 
 // (Qe, NMPS, NLPS, SWITCH) — T.800 Table C.2
@@ -1224,8 +1225,13 @@ inline void J2kSignCtx(const int8_t* sgn, int stride, int x, int y,
 
 // T1 decode of one code block (Annex D): w x h coefficients, band table id,
 // starting bitplane msb, `numpasses` coding passes. out: signed coeffs.
+// `lastp` (optional): per-coefficient bitplane of the last decoded
+// magnitude bit — the remaining uncertainty interval is 2^lastp wide,
+// which drives midpoint reconstruction of quantized (9/7) streams.
+// Mirrors the python oracle's tracking (mmnn_sts_tpu/data/jpeg2000.py).
 int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
-                int msb, int numpasses, int32_t* out) {
+                int msb, int numpasses, int32_t* out,
+                int32_t* lastp = nullptr) {
   if (msb < 0 || msb > 30) return 61;
   int stride = w + 2;
   std::vector<uint8_t> sigv((size_t)stride * (h + 2), 0);
@@ -1260,6 +1266,7 @@ int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
           if (mq.Decode(ctx)) {
             mag[(size_t)y * w + x] |= 1 << p;
             code_sign(x, y);
+            if (lastp) lastp[(size_t)y * w + x] = p;
           }
         }
       }
@@ -1285,6 +1292,7 @@ int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
           if (mq.Decode(ctx)) mag[i] |= 1 << p;
           else mag[i] &= ~(1 << p);
           refv[i] = 1;
+          if (lastp) lastp[i] = p;
         }
       }
     }
@@ -1311,6 +1319,7 @@ int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
             int y = y0 + r;
             mag[(size_t)y * w + x] |= 1 << p;
             code_sign(x, y);
+            if (lastp) lastp[(size_t)y * w + x] = p;
             start = y + 1;
           }
         }
@@ -1321,6 +1330,7 @@ int J2kT1Decode(const uint8_t* data, int64_t dlen, int w, int h, int band,
           if (mq.Decode(ctx)) {
             mag[i] |= 1 << p;
             code_sign(x, y);
+            if (lastp) lastp[i] = p;
           }
         }
       }
@@ -1368,6 +1378,47 @@ void J2kIdwtRow(const int32_t* s, const int32_t* d, int ne, int no,
     out[2 * k + 1] = d[k] + ((xe[k] + xr) >> 1);
   }
   for (int k = 0; k < ne; ++k) out[2 * k] = xe[k];
+}
+
+// Irreversible 9/7 inverse DWT (T.800 Annex F, Table F.4), 1D synthesis in
+// double precision. Same even-start / clamped-neighbor extension as the
+// 5/3 above; lowpass was scaled by 1/K at analysis and highpass by K, so
+// synthesis undoes that before un-lifting. Mirror of _dwt97_merge_1d in
+// mmnn_sts_tpu/data/jpeg2000.py (the tested convention).
+void J2kIdwtRow97(const double* s, const double* d, int ne, int no,
+                  double* out) {
+  constexpr double kA = -1.586134342059924;  // lifting steps (Table F.4)
+  constexpr double kB = -0.052980118572961;
+  constexpr double kG = 0.882911075530934;
+  constexpr double kD = 0.443506852043971;
+  constexpr double kK = 1.230174104914001;
+  int n = ne + no;
+  if (n == 1) {
+    out[0] = s[0];
+    return;
+  }
+  std::vector<double> e(ne), o(no);
+  for (int k = 0; k < ne; ++k) e[k] = s[k] * kK;
+  for (int k = 0; k < no; ++k) o[k] = d[k] * (1.0 / kK);
+  // even sample k's odd neighbors: o[clamp(k-1)], o[clamp(k)]
+  auto even_step = [&](double c) {
+    for (int k = 0; k < ne; ++k) {
+      double l = o[k - 1 < 0 ? 0 : (k - 1 >= no ? no - 1 : k - 1)];
+      double r = o[k >= no ? no - 1 : k];
+      e[k] -= c * (l + r);
+    }
+  };
+  // odd sample k's even neighbors: e[k], e[clamp(k+1)]
+  auto odd_step = [&](double c) {
+    for (int k = 0; k < no; ++k)
+      o[k] -= c * (e[k] + e[k + 1 >= ne ? ne - 1 : k + 1]);
+  };
+  even_step(kD);
+  odd_step(kG);
+  even_step(kB);
+  odd_step(kA);
+  for (int k = 0; k < ne; ++k) out[2 * k] = e[k];
+  for (int k = 0; k < no; ++k) out[2 * k + 1] = o[k];
 }
 
 struct J2kBand {
@@ -1423,9 +1474,10 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
   if (len < 4 || u16(0) != 0xFF4F) return 71;  // SOC
   int64_t pos = 2;
   int W = 0, H = 0, depth = 0, levels = -1, xcb = 0, ycb = 0, layers = 1;
-  int prog = 0, guard = 0;
+  int prog = 0, guard = 0, qstyle = 0;
   bool is_signed = false, use_sop = false, use_eph = false;
-  std::vector<int> exps;
+  bool reversible = true;
+  std::vector<std::pair<int, int>> quant;  // (exponent, mantissa) per band
   bool have_siz = false, have_cod = false, have_qcd = false;
 
   while (true) {
@@ -1463,7 +1515,9 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
       xcb = (body[6] & 0x0F) + 2;
       ycb = (body[7] & 0x0F) + 2;
       if (body[8] != 0) return 73;  // code-block style
-      if (body[9] != 1) return 74;  // irreversible
+      if (body[9] == 1) reversible = true;
+      else if (body[9] == 0) reversible = false;  // irreversible 9/7
+      else return 73;
       if (scod & 1) {               // explicit precincts: whole-res only
         if (n < 10 + levels + 1) return 72;
         for (int r = 0; r <= levels; ++r) {
@@ -1477,10 +1531,21 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
     } else if (marker == 0xFF5C) {  // QCD
       if (n < 2) return 72;
       int sqcd = body[0];
-      if ((sqcd & 0x1F) != 0) return 74;  // quantized = lossy
+      qstyle = sqcd & 0x1F;
       guard = sqcd >> 5;
-      exps.clear();
-      for (int i = 1; i < n; ++i) exps.push_back(body[i] >> 3);
+      quant.clear();
+      if (qstyle == 0) {  // no quantization: one exponent byte per band
+        for (int i = 1; i < n; ++i) quant.emplace_back(body[i] >> 3, 0);
+      } else if (qstyle == 1 || qstyle == 2) {  // scalar derived/expounded
+        if ((n - 1) % 2) return 72;
+        for (int i = 1; i + 1 < n; i += 2) {
+          int word = (body[i] << 8) | body[i + 1];
+          quant.emplace_back(word >> 11, word & 0x7FF);
+        }
+        if (quant.empty()) return 72;
+      } else {
+        return 74;  // unknown style: python owns the error message
+      }
       have_qcd = true;
     } else if (marker == 0xFF53 || marker == 0xFF5D || marker == 0xFF5F ||
                marker == 0xFF5E || marker == 0xFF60) {
@@ -1494,6 +1559,9 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
     pos += 2 + seglen;
   }
   if (!have_siz || !have_cod || !have_qcd || levels < 0) return 72;
+  // T.800 pairs 5/3 with no-quantization and 9/7 with scalar (E.1); a
+  // mismatched stream falls back to python's precise error.
+  if (reversible != (qstyle == 0)) return 74;
   if ((int64_t)W * H > out_capacity) return 75;
   if (W <= 0 || H <= 0 || levels > 32) return 72;
 
@@ -1658,65 +1726,157 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
         if (int rc = parse_packet(l, r)) return rc;
   }
 
-  // T1 decode all blocks into subband coefficient planes.
+  // (eps, mu) for resolution r, band bi. Scalar-derived streams (E-5)
+  // list one pair covering the N_L-level LL; a band produced at
+  // decomposition level `lev` uses eps = eps0 - N_L + lev.
+  auto band_quant = [&](int r, size_t bi, int* eps, int* mu) -> bool {
+    if (qstyle == 1) {
+      int lev = r == 0 ? levels : levels - r + 1;
+      *eps = quant[0].first - levels + lev;
+      *mu = quant[0].second;
+      return true;
+    }
+    if (quant.size() == 1) {  // degenerate single entry: replicate
+      *eps = quant[0].first;
+      *mu = quant[0].second;
+      return true;
+    }
+    size_t idx = r == 0 ? 0 : 3 * (r - 1) + 1 + bi;
+    if (idx >= quant.size()) return false;
+    *eps = quant[idx].first;
+    *mu = quant[idx].second;
+    return true;
+  };
+
+  // T1 decode all blocks into subband coefficient planes. Irreversible
+  // streams dequantize into float planes with midpoint reconstruction:
+  // |q| is known down to bitplane lastp, so add half that interval.
+  std::vector<std::vector<std::vector<double>>> fco;
+  if (!reversible) fco.resize(levels + 1);
   for (int r = 0; r <= levels; ++r) {
+    if (!reversible) fco[r].resize(bands[r].size());
     for (size_t bi = 0; bi < bands[r].size(); ++bi) {
       J2kBand& b = bands[r][bi];
-      int eps;
-      if ((int)exps.size() == 1) eps = exps[0];
-      else {
-        size_t idx = r == 0 ? 0 : 3 * (r - 1) + 1 + bi;
-        if (idx >= exps.size()) return 72;
-        eps = exps[idx];
-      }
+      int eps, mu;
+      if (!band_quant(r, bi, &eps, &mu)) return 72;
       int mb = guard + eps - 1;
+      double delta = 0.0;
+      std::vector<double>* plane = nullptr;
+      if (!reversible) {
+        // Delta_b = 2^(R_b - eps) * (1 + mu/2^11), R_b = depth + gain
+        delta = std::ldexp(1.0 + mu / 2048.0, depth + b.gain - eps);
+        fco[r][bi].assign((size_t)b.w * b.h, 0.0);
+        plane = &fco[r][bi];
+      }
+      std::vector<int32_t> lastp;
       for (auto& blk : blocks[r][bi]) {
         if (!blk.included || blk.numpasses == 0) continue;
         std::vector<int32_t> cf((size_t)blk.w * blk.h);
-        int rc = J2kT1Decode(blk.data.data(), (int64_t)blk.data.size(),
-                             blk.w, blk.h, b.band, mb - 1 - blk.zbp,
-                             blk.numpasses, cf.data());
+        int rc;
+        if (reversible) {
+          rc = J2kT1Decode(blk.data.data(), (int64_t)blk.data.size(),
+                           blk.w, blk.h, b.band, mb - 1 - blk.zbp,
+                           blk.numpasses, cf.data());
+        } else {
+          lastp.assign((size_t)blk.w * blk.h, 0);
+          rc = J2kT1Decode(blk.data.data(), (int64_t)blk.data.size(),
+                           blk.w, blk.h, b.band, mb - 1 - blk.zbp,
+                           blk.numpasses, cf.data(), lastp.data());
+        }
         if (rc) return rc;
-        for (int y = 0; y < blk.h; ++y)
-          std::memcpy(&b.coeffs[(size_t)(blk.y0 + y) * b.w + blk.x0],
-                      &cf[(size_t)y * blk.w], sizeof(int32_t) * blk.w);
+        if (reversible) {
+          for (int y = 0; y < blk.h; ++y)
+            std::memcpy(&b.coeffs[(size_t)(blk.y0 + y) * b.w + blk.x0],
+                        &cf[(size_t)y * blk.w], sizeof(int32_t) * blk.w);
+        } else {
+          for (int y = 0; y < blk.h; ++y)
+            for (int x = 0; x < blk.w; ++x) {
+              int32_t c = cf[(size_t)y * blk.w + x];
+              double m = c < 0 ? -(double)c : (double)c;
+              if (m > 0)
+                m += std::ldexp(0.5, (int)lastp[(size_t)y * blk.w + x]);
+              (*plane)[(size_t)(blk.y0 + y) * b.w + blk.x0 + x] =
+                  (c < 0 ? -m : m) * delta;
+            }
+        }
       }
     }
   }
 
   // Inverse DWT: synthesis HOR then VER per level (F.3.4).
-  std::vector<int32_t> ll = std::move(bands[0][0].coeffs);
+  std::vector<int32_t> ll;
   int lw = bands[0][0].w, lhh = bands[0][0].h;
-  std::vector<int32_t> scratch, col_s, col_d, col_o;
-  for (int r = 1; r <= levels; ++r) {
-    J2kBand& HL = bands[r][0];
-    J2kBand& LH = bands[r][1];
-    J2kBand& HH = bands[r][2];
-    int pw = lw + HL.w, ph = lhh + LH.h;
-    std::vector<int32_t> lo_y((size_t)pw * lhh), hi_y((size_t)pw * LH.h);
-    // horizontal merges
-    for (int y = 0; y < lhh; ++y)
-      J2kIdwtRow(&ll[(size_t)y * lw], HL.w ? &HL.coeffs[(size_t)y * HL.w]
-                                           : nullptr,
-                 lw, HL.w, &lo_y[(size_t)y * pw]);
-    for (int y = 0; y < LH.h; ++y)
-      J2kIdwtRow(&LH.coeffs[(size_t)y * LH.w],
-                 HH.w ? &HH.coeffs[(size_t)y * HH.w] : nullptr, LH.w, HH.w,
-                 &hi_y[(size_t)y * pw]);
-    // vertical merges per column
-    std::vector<int32_t> nxt((size_t)pw * ph);
-    col_s.resize(lhh);
-    col_d.resize(LH.h);
-    col_o.resize(ph);
-    for (int x = 0; x < pw; ++x) {
-      for (int y = 0; y < lhh; ++y) col_s[y] = lo_y[(size_t)y * pw + x];
-      for (int y = 0; y < LH.h; ++y) col_d[y] = hi_y[(size_t)y * pw + x];
-      J2kIdwtRow(col_s.data(), col_d.data(), lhh, LH.h, col_o.data());
-      for (int y = 0; y < ph; ++y) nxt[(size_t)y * pw + x] = col_o[y];
+  if (reversible) {
+    ll = std::move(bands[0][0].coeffs);
+    std::vector<int32_t> col_s, col_d, col_o;
+    for (int r = 1; r <= levels; ++r) {
+      J2kBand& HL = bands[r][0];
+      J2kBand& LH = bands[r][1];
+      J2kBand& HH = bands[r][2];
+      int pw = lw + HL.w, ph = lhh + LH.h;
+      std::vector<int32_t> lo_y((size_t)pw * lhh), hi_y((size_t)pw * LH.h);
+      // horizontal merges
+      for (int y = 0; y < lhh; ++y)
+        J2kIdwtRow(&ll[(size_t)y * lw], HL.w ? &HL.coeffs[(size_t)y * HL.w]
+                                             : nullptr,
+                   lw, HL.w, &lo_y[(size_t)y * pw]);
+      for (int y = 0; y < LH.h; ++y)
+        J2kIdwtRow(&LH.coeffs[(size_t)y * LH.w],
+                   HH.w ? &HH.coeffs[(size_t)y * HH.w] : nullptr, LH.w, HH.w,
+                   &hi_y[(size_t)y * pw]);
+      // vertical merges per column
+      std::vector<int32_t> nxt((size_t)pw * ph);
+      col_s.resize(lhh);
+      col_d.resize(LH.h);
+      col_o.resize(ph);
+      for (int x = 0; x < pw; ++x) {
+        for (int y = 0; y < lhh; ++y) col_s[y] = lo_y[(size_t)y * pw + x];
+        for (int y = 0; y < LH.h; ++y) col_d[y] = hi_y[(size_t)y * pw + x];
+        J2kIdwtRow(col_s.data(), col_d.data(), lhh, LH.h, col_o.data());
+        for (int y = 0; y < ph; ++y) nxt[(size_t)y * pw + x] = col_o[y];
+      }
+      ll = std::move(nxt);
+      lw = pw;
+      lhh = ph;
     }
-    ll = std::move(nxt);
-    lw = pw;
-    lhh = ph;
+  } else {
+    std::vector<double> fll = std::move(fco[0][0]);
+    std::vector<double> col_s, col_d, col_o;
+    for (int r = 1; r <= levels; ++r) {
+      J2kBand& HL = bands[r][0];
+      J2kBand& LH = bands[r][1];
+      J2kBand& HH = bands[r][2];
+      std::vector<double>& hlc = fco[r][0];
+      std::vector<double>& lhc = fco[r][1];
+      std::vector<double>& hhc = fco[r][2];
+      int pw = lw + HL.w, ph = lhh + LH.h;
+      std::vector<double> lo_y((size_t)pw * lhh), hi_y((size_t)pw * LH.h);
+      for (int y = 0; y < lhh; ++y)
+        J2kIdwtRow97(&fll[(size_t)y * lw],
+                     HL.w ? &hlc[(size_t)y * HL.w] : nullptr, lw, HL.w,
+                     &lo_y[(size_t)y * pw]);
+      for (int y = 0; y < LH.h; ++y)
+        J2kIdwtRow97(&lhc[(size_t)y * LH.w],
+                     HH.w ? &hhc[(size_t)y * HH.w] : nullptr, LH.w, HH.w,
+                     &hi_y[(size_t)y * pw]);
+      std::vector<double> nxt((size_t)pw * ph);
+      col_s.resize(lhh);
+      col_d.resize(LH.h);
+      col_o.resize(ph);
+      for (int x = 0; x < pw; ++x) {
+        for (int y = 0; y < lhh; ++y) col_s[y] = lo_y[(size_t)y * pw + x];
+        for (int y = 0; y < LH.h; ++y) col_d[y] = hi_y[(size_t)y * pw + x];
+        J2kIdwtRow97(col_s.data(), col_d.data(), lhh, LH.h, col_o.data());
+        for (int y = 0; y < ph; ++y) nxt[(size_t)y * pw + x] = col_o[y];
+      }
+      fll = std::move(nxt);
+      lw = pw;
+      lhh = ph;
+    }
+    // round-half-even, matching np.rint in the python oracle
+    ll.resize(fll.size());
+    for (size_t i = 0; i < fll.size(); ++i)
+      ll[i] = (int32_t)std::nearbyint(fll[i]);
   }
   if (lw != W || lhh != H) return 72;
 
@@ -1742,9 +1902,9 @@ int DecodeJ2k(const uint8_t* buf, int64_t len, int32_t* out,
 
 extern "C" {
 
-// JPEG 2000 Part 1 lossless decode of one single-component codestream (raw
-// or JP2-wrapped). Returns 0 on success; any nonzero means "use the python
-// decoder" (which owns the precise error messages).
+// JPEG 2000 Part 1 decode of one single-component codestream (raw or
+// JP2-wrapped; reversible or irreversible). Returns 0 on success; any
+// nonzero means "use the python decoder" (which owns the error messages).
 int mmnn_j2k_decode(const uint8_t* buf, int64_t len, int32_t* out,
                     int64_t out_capacity, int* rows, int* cols) {
   return DecodeJ2k(buf, len, out, out_capacity, rows, cols);

@@ -398,20 +398,27 @@ def make_full_cohort(root: str, n: int = 24, seed: int = 0):
 
 def write_dicom_j2k(path, pixel: np.ndarray, instance=1, z=0.0,
                     signed=False, frames=None, bits=16,
-                    pixel_spacing=None, jp2=False, encoder=None):
-    """A JPEG 2000 lossless (1.2.840.10008.1.2.4.90) .dcm file with
-    encapsulated pixel data — one fragment per frame. jp2=True wraps each
-    codestream in a JP2 container (non-conformant but seen in the wild).
-    encoder: optional frame->codestream callable (e.g. an independent
-    OpenJPEG encode for conformance tests); defaults to encode_j2k."""
+                    pixel_spacing=None, jp2=False, encoder=None,
+                    syntax=None, irreversible=False, qdrop=0):
+    """A JPEG 2000 .dcm file — 1.2.840.10008.1.2.4.90 (lossless) by
+    default, or any J2K syntax via `syntax` — with encapsulated pixel
+    data, one fragment per frame. jp2=True wraps each codestream in a JP2
+    container (non-conformant but seen in the wild). irreversible=True
+    encodes 9/7-quantized codestreams (pass syntax=J2K for a conformant
+    .91 file). encoder: optional frame->codestream callable (e.g. an
+    independent OpenJPEG encode for conformance tests)."""
     from mmnn_sts_tpu.data.dicom import J2K_LOSSLESS
     from mmnn_sts_tpu.data.jpeg2000 import encode_j2k
+
+    if syntax is None:
+        syntax = J2K_LOSSLESS
 
     def enc(frame):
         if encoder is not None:
             blob = encoder(frame)
         else:
-            blob = encode_j2k(frame, bits, signed=signed)
+            blob = encode_j2k(frame, bits, signed=signed,
+                              irreversible=irreversible, qdrop=qdrop)
         if jp2:
             sig = bytes.fromhex("0000000C6A5020200D0A870A")
             ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
@@ -420,7 +427,7 @@ def write_dicom_j2k(path, pixel: np.ndarray, instance=1, z=0.0,
         return blob
 
     el = dicom_el_explicit
-    parts = [dicom_meta(J2K_LOSSLESS)]
+    parts = [dicom_meta(syntax)]
     if frames:
         nframes, rows, cols = pixel.shape
         parts.append(el(0x0028, 0x0008, b"IS", str(nframes).encode()))

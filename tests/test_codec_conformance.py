@@ -149,3 +149,86 @@ def test_pil_decodes_our_jpeg_stream(rng):
     ours = decode_jpeg_baseline(enc)
     assert pil_dec.shape == img.shape
     assert np.abs(ours.astype(int) - pil_dec.astype(int)).max() <= 1
+
+
+# ------------------- JPEG 2000 irreversible (9/7) --------------------------
+# Lossy decodes carry no bit-exactness mandate (T.800 leaves the real
+# arithmetic implementation-defined), so agreement with OpenJPEG is pinned
+# to +-1 per sample — the float-rounding envelope. This also pins the
+# decoder's 9/7 scaling convention (a swapped or dropped K step is off by
+# K^2 per decomposition level and fails by hundreds of counts).
+
+
+def _pil_irreversible_encode(img: np.ndarray, **kwargs) -> bytes:
+    b = io.BytesIO()
+    PIL_Image.fromarray(img, mode="L").save(
+        b, "JPEG2000", irreversible=True, **kwargs)
+    return b.getvalue()
+
+
+def test_decodes_openjpeg_irreversible_within_one(rng):
+    img = (rng.normal(128, 40, (64, 96)).clip(0, 255)).astype(np.uint8)
+    data = _pil_irreversible_encode(img)
+    ours = decode_j2k(data)
+    opj = np.asarray(PIL_Image.open(io.BytesIO(data))).astype(np.int64)
+    assert np.abs(ours - opj).max() <= 1
+    # near-lossless stream: also close to the source
+    assert np.abs(ours - img.astype(np.int64)).max() <= 2
+
+
+def test_decodes_openjpeg_rate_limited_lossy_within_one(rng):
+    """Aggressive rate control truncates code-blocks mid-bitplane, which
+    exercises the per-coefficient midpoint reconstruction exactly where it
+    differs from naive dequantization."""
+    x, y = np.meshgrid(np.arange(96), np.arange(80))
+    img = (128 + 90 * np.sin(x / 9.0) * np.cos(y / 6.0)
+           + rng.normal(0, 6, (80, 96))).clip(0, 255).astype(np.uint8)
+    data = _pil_irreversible_encode(img, quality_mode="rates",
+                                    quality_layers=[12])
+    ours = decode_j2k(data)
+    opj = np.asarray(PIL_Image.open(io.BytesIO(data))).astype(np.int64)
+    assert np.abs(ours - opj).max() <= 1
+
+
+@pytest.mark.parametrize("derived", [False, True])
+def test_openjpeg_decodes_our_irreversible_streams(rng, derived):
+    img = (rng.normal(128, 40, (72, 64)).clip(0, 255)).astype(np.int64)
+    enc = encode_j2k(img, depth=8, irreversible=True, qdrop=1,
+                     derived=derived)
+    opj = np.asarray(PIL_Image.open(io.BytesIO(enc))).astype(np.int64)
+    ours = decode_j2k(enc)
+    assert np.abs(ours - opj).max() <= 1
+
+
+def test_native_decodes_openjpeg_irreversible_streams(rng):
+    """The C++ fast path on third-party irreversible streams: must agree
+    exactly with the python oracle (same 9/7 + midpoint arithmetic), which
+    the tests above pin to OpenJPEG within +-1."""
+    from mmnn_sts_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libmmnn_native.so not built")
+    img = (rng.normal(128, 40, (80, 72)).clip(0, 255)).astype(np.uint8)
+    for kwargs in [{}, {"quality_mode": "rates", "quality_layers": [10]}]:
+        data = _pil_irreversible_encode(img, **kwargs)
+        nat = native.j2k_decode_native(data, 80, 72)
+        assert nat is not None, kwargs
+        np.testing.assert_array_equal(nat, decode_j2k(data))
+
+
+def test_dicom_91_series_with_openjpeg_pixeldata(tmp_path, rng):
+    """End-to-end: a .91 DICOM series whose irreversible codestreams came
+    from OpenJPEG (not our encoder) loads through the production reader
+    within the lossy tolerance of the original volume."""
+    from mmnn_sts_tpu.data.dicom import J2K
+
+    vol = (rng.normal(120, 35, (3, 32, 36)).clip(0, 255)).astype(np.uint8)
+    for k in range(3):
+        write_dicom_j2k(
+            tmp_path / f"s{k}.dcm", vol[k], instance=k + 1, z=float(k),
+            bits=8, syntax=J2K,
+            encoder=lambda f: _pil_irreversible_encode(f.astype(np.uint8)),
+        )
+    out = load_dicom_series(str(tmp_path))
+    assert out.shape == vol.shape
+    assert np.abs(out - vol.astype(np.float32)).max() <= 2

@@ -56,6 +56,8 @@ def _codecs(rng):
         ("jpeg_lossless", encode_jpeg_lossless_sv1(img, 12), decode_jpeg_lossless),
         ("jpeg_ls", encode_jpeg_ls(img, 12), decode_jpeg_ls),
         ("j2k", encode_j2k(img, 12), decode_j2k),
+        ("j2k_irrev", encode_j2k(img, 12, irreversible=True, qdrop=1),
+         decode_j2k),
     ]
 
 

@@ -211,11 +211,13 @@ def test_rejects_multi_component():
         decode_j2k(bytes(blob))
 
 
-def test_rejects_irreversible_transform():
+def test_rejects_transform_quant_mismatch():
+    # flipping only the transform byte to 9/7 leaves a style-0 QCD behind;
+    # T.800 pairs 5/3 with no-quant and 9/7 with scalar quantization (E.1)
     blob = bytearray(encode_j2k(np.zeros((8, 8), np.int64), 8))
     cod_at = blob.index(bytes((0xFF, 0x52)))
     blob[cod_at + 4 + 9] = 0  # SPcod transform byte -> 9/7
-    with pytest.raises(ValueError, match="irreversible"):
+    with pytest.raises(ValueError, match="mismatch"):
         decode_j2k(bytes(blob))
 
 
@@ -387,3 +389,106 @@ def test_progression_orders_decode(rng, prog):
     cod_at = blob.index(bytes((0xFF, 0x52)))
     blob[cod_at + 4 + 1] = prog  # SGcod progression order byte
     assert np.array_equal(decode_j2k(bytes(blob)), img)
+
+
+# ---------------------------------------------------------------------------
+# Irreversible (9/7, scalar-quantized) streams — transfer syntax .91.
+# The reference decoded these through GDCM+OpenJPEG and trained on the
+# lossy samples (/root/reference/data/s3utils.py:244-265); parity here is
+# tolerance-based (T.800 mandates no exact real-arithmetic result), with
+# OpenJPEG cross-decodes pinned in test_codec_conformance.py.
+# ---------------------------------------------------------------------------
+
+
+def test_dwt97_perfect_reconstruction(rng):
+    from mmnn_sts_tpu.data.jpeg2000 import dwt97_forward, dwt97_inverse
+
+    for shape in [(1, 1), (1, 7), (8, 8), (13, 17), (64, 48), (5, 1), (2, 3)]:
+        x = rng.normal(0, 1000, size=shape)
+        for lev in range(4):
+            try:
+                ll, bands = dwt97_forward(x, lev)
+            except ValueError:
+                continue
+            assert np.abs(dwt97_inverse(ll, bands) - x).max() < 1e-9, (
+                shape, lev)
+
+
+@pytest.mark.parametrize("qdrop", [0, 2, 4])
+def test_irreversible_roundtrip_error_bounded(rng, qdrop):
+    """Expounded quantization: every subband's step is 2^qdrop, midpoint
+    reconstruction keeps per-coefficient error <= step/2, and 9/7
+    synthesis amplifies by a small constant — so pixel error scales with
+    the step. Bounds are ~2x the measured errors (3/11/58 max at
+    qdrop 0/2/4) so regressions trip them but float drift does not."""
+    img = (rng.normal(500, 120, size=(64, 96)).clip(0, 1023)).astype(np.int64)
+    dec = decode_j2k(encode_j2k(img, 10, irreversible=True, qdrop=qdrop))
+    err = dec - img
+    assert np.abs(err).max() <= 8 * 2**qdrop
+    assert np.sqrt((err.astype(np.float64) ** 2).mean()) <= 2.0 * 2**qdrop
+
+
+def test_irreversible_derived_decodes(rng):
+    """QCD style 1 (scalar derived): one (eps, mu) pair, per-band steps
+    derived by decomposition level (E-5) — fine bands quantize 2^(N_L-lev)
+    coarser, so the error budget is driven by the finest band's step."""
+    img = (rng.normal(500, 120, size=(48, 40)).clip(0, 1023)).astype(np.int64)
+    dec = decode_j2k(encode_j2k(img, 10, irreversible=True, qdrop=0,
+                                derived=True, levels=2))
+    err = dec - img
+    # finest-band step = 2^(levels-1+qdrop) = 2 -> same budget as qdrop=1
+    assert np.abs(err).max() <= 8 * 2 ** (2 - 1)
+    assert np.sqrt((err.astype(np.float64) ** 2).mean()) <= 2.0 * 2
+
+
+def test_irreversible_multilayer_and_signed(rng):
+    img = rng.integers(-2000, 2000, size=(33, 29))
+    dec = decode_j2k(encode_j2k(img, 12, signed=True, irreversible=True,
+                                qdrop=0, layers=3))
+    assert np.abs(dec - img).max() <= 8
+
+
+def test_irreversible_native_matches_python(native_mod, rng):
+    """The C++ fast path must agree sample-for-sample with the python
+    oracle on irreversible streams too — both implement the same
+    double-precision 9/7 synthesis and midpoint reconstruction, so the
+    rounded outputs are identical, not merely within tolerance."""
+    cases = [
+        dict(qdrop=0, derived=False, signed=False, shape=(64, 96), depth=10),
+        dict(qdrop=2, derived=False, signed=False, shape=(33, 29), depth=12),
+        dict(qdrop=4, derived=True, signed=False, shape=(48, 40), depth=10),
+        dict(qdrop=0, derived=True, signed=True, shape=(17, 23), depth=12),
+        dict(qdrop=1, derived=False, signed=True, shape=(1, 9), depth=8),
+    ]
+    for c in cases:
+        lo, hi = ((-(1 << c["depth"] - 1), 1 << c["depth"] - 1)
+                  if c["signed"] else (0, 1 << c["depth"]))
+        img = rng.integers(lo, hi, size=c["shape"])
+        blob = encode_j2k(img, c["depth"], signed=c["signed"],
+                          irreversible=True, qdrop=c["qdrop"],
+                          derived=c["derived"])
+        py = decode_j2k(blob)
+        nat = native_mod.j2k_decode_native(blob, *c["shape"])
+        assert nat is not None, c
+        np.testing.assert_array_equal(nat, py, err_msg=str(c))
+
+
+def test_irreversible_native_multilayer_parity(native_mod, rng):
+    img = rng.integers(-2000, 2000, size=(33, 29))
+    blob = encode_j2k(img, 12, signed=True, irreversible=True, layers=3)
+    nat = native_mod.j2k_decode_native(blob, 33, 29)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, decode_j2k(blob))
+
+
+def test_dicom_91_series_trains_on_lossy_frames(tmp_path, rng):
+    from mmnn_sts_tpu.data.dicom import J2K
+
+    vol = (rng.normal(300, 90, size=(3, 16, 16)).clip(0, 4095)
+           ).astype(np.int64)
+    for k in range(3):
+        write_dicom_j2k(tmp_path / f"s{k}.dcm", vol[k], instance=k + 1,
+                        z=float(k), syntax=J2K, irreversible=True, qdrop=2)
+    out = load_dicom_series(tmp_path)
+    assert out.shape == (3, 16, 16)
+    assert np.abs(out - vol.astype(np.float32)).max() <= 8 * 4
