@@ -400,10 +400,16 @@ def _decode_fragments(s: DicomSlice) -> np.ndarray:
             return fast if fast is not None else decode_jpeg_lossless(st)
 
     decoded = np.stack([decode_one(st) for st in streams])
-    if s.pixel_representation:  # reinterpret the stored words as signed
-        decoded = decoded.view(
-            np.int8 if decoded.dtype == np.uint8 else np.int16
-        )
+    if s.pixel_representation:
+        # Reinterpret the STORED words (BitsAllocated wide) as two's
+        # complement. Key by BitsAllocated, not the decoder's array dtype:
+        # the JPEG-LS/JPEG-Lossless decoders return uint16 even for 8-bit
+        # streams, and viewing those as int16 would fail to sign-extend the
+        # 8-bit words (0xFF must decode to -1, not +255).
+        if s.bits_allocated == 8:
+            decoded = decoded.astype(np.uint8).view(np.int8)
+        else:
+            decoded = decoded.astype(np.uint16).view(np.int16)
     return decoded.astype(np.float32)
 
 

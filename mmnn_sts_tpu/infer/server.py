@@ -111,13 +111,31 @@ class ModelServer:
                     inputs, ctype = _decode_request(
                         self.rfile.read(n), self.headers.get("Content-Type")
                     )
-                    preds = server.model(inputs)
-                    body, out_type = _encode_response(preds, ctype)
-                    self._reply(200, body, out_type)
-                except Exception as e:  # noqa: BLE001 — 400 to the client
+                except Exception as e:  # noqa: BLE001 — malformed request
                     self._reply(
                         400, json.dumps({"error": str(e)}).encode(), JSON
                     )
+                    return
+                try:
+                    preds = server.model(inputs)
+                    body, out_type = _encode_response(preds, ctype)
+                except (ValueError, TypeError) as e:
+                    # the model rejecting the inputs (wrong modality set,
+                    # shape/rank/dtype mismatch) is still the client's fault
+                    self._reply(
+                        400, json.dumps({"error": str(e)}).encode(), JSON
+                    )
+                    return
+                except Exception as e:  # noqa: BLE001 — model/server fault
+                    # execution faults (artifact incompatible with the local
+                    # jax, XLA compile failure, resource exhaustion) are
+                    # 5xx, so endpoint monitoring/retries see a server
+                    # fault, not an invalid-input signal
+                    self._reply(
+                        500, json.dumps({"error": str(e)}).encode(), JSON
+                    )
+                    return
+                self._reply(200, body, out_type)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
 

@@ -27,6 +27,55 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def compute_batch_stats(x, mask=None):
+    """Per-feature batch statistics over every axis but the last, with an
+    optional per-sample 0/1 `mask` on the leading axis.
+
+    Returns ``(mean, var, unbiased, any_valid)``:
+      * ``var`` is the BIASED batch variance via E[x^2]-mean^2, clamped at
+        >= 0 — f32 cancellation can round a (near-)zero variance NEGATIVE
+        under XLA's fused reassociation, making rsqrt(var+eps) NaN
+        (observed: drive run 2026-08-18, clinical MLP bn_0, |x|~1.3e3).
+      * ``unbiased`` is the value torch folds into running_var (x n/(n-1));
+        the parity harness measured percent-level eval drift without it.
+      * ``any_valid`` is None when mask is None, else a traced bool; a
+        fully-masked batch yields identity statistics (mean 0, var 1) —
+        a var=0 floor would amplify ~1/sqrt(eps)=316x per BN and overflow
+        deep nets to inf, turning masked zero cotangents into inf*0=NaN
+        weight gradients (observed: drive run 2026-08-18, n=17 cohort).
+
+    Shared by BatchNorm below and models/densenet.FusedBottleneck so these
+    numerical guards cannot drift apart.
+    """
+    xf = x.astype(jnp.float32)
+    reduce_axes = tuple(range(x.ndim - 1))
+    if mask is None:
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+        n = 1
+        for a in reduce_axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        return mean, var, unbiased, None
+
+    mf = mask.astype(jnp.float32).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+    per_sample = 1
+    for a in reduce_axes[1:]:
+        per_sample *= x.shape[a]
+    n_valid = jnp.sum(mf) * per_sample  # traced scalar
+    denom = jnp.maximum(n_valid, 1.0)
+    any_valid = n_valid > 0
+    mean = jnp.sum(xf * mf, axis=reduce_axes) / denom
+    var = jnp.sum(jnp.square(xf) * mf, axis=reduce_axes) / denom \
+        - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    mean = jnp.where(any_valid, mean, 0.0)
+    var = jnp.where(any_valid, var, 1.0)
+    unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
+    return mean, var, unbiased, any_valid
+
+
 class _TorchSemanticsBatchNorm(nn.Module):
     """BatchNorm whose running-variance update matches torch EXACTLY.
 
@@ -57,7 +106,6 @@ class _TorchSemanticsBatchNorm(nn.Module):
         untouched (the reference never runs such a batch at all).
         mask=None compiles to the unmasked program (the hot path)."""
         feat = x.shape[-1]
-        reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
         )
@@ -69,55 +117,22 @@ class _TorchSemanticsBatchNorm(nn.Module):
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        elif mask is not None:
-            xf = x.astype(jnp.float32)
-            mf = mask.astype(jnp.float32).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
-            per_sample = 1
-            for a in reduce_axes[1:]:
-                per_sample *= x.shape[a]
-            n_valid = jnp.sum(mf) * per_sample  # traced scalar
-            denom = jnp.maximum(n_valid, 1.0)
-            any_valid = n_valid > 0
-            mean = jnp.sum(xf * mf, axis=reduce_axes) / denom
-            var = jnp.sum(jnp.square(xf) * mf, axis=reduce_axes) / denom \
-                - jnp.square(mean)
-            # E[x^2]-mean^2 cancels catastrophically when the valid-sample
-            # variance is (near-)zero — a 1-valid-sample 1-D BN is EXACTLY
-            # zero in real arithmetic, and the f32 rounding error (~ulp(x^2),
-            # >> eps for |x|>~100) can land NEGATIVE under XLA's fused
-            # reassociation, making rsqrt(var+eps) NaN (observed: drive run
-            # 2026-08-18, clinical MLP bn_0, |x|~1.3e3). Clamp to >= 0.
-            var = jnp.maximum(var, 0.0)
-            # fully-masked batch: normalize as identity (mean 0, var 1). A
-            # var=0 floor would amplify ~1/sqrt(eps)=316x per BN and
-            # overflow a deep net to inf, turning the masked zero
-            # cotangents into inf*0=NaN weight gradients.
-            mean = jnp.where(any_valid, mean, 0.0)
-            var = jnp.where(any_valid, var, 1.0)
-            if not self.is_initializing():
-                unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
-                m = self.momentum
-                ra_mean.value = jnp.where(
-                    any_valid, m * ra_mean.value + (1 - m) * mean, ra_mean.value
-                )
-                ra_var.value = jnp.where(
-                    any_valid, m * ra_var.value + (1 - m) * unbiased, ra_var.value
-                )
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
-            # same cancellation guard as the masked branch: a (near-)constant
-            # feature column can round E[x^2]-mean^2 negative in f32
-            var = jnp.maximum(var, 0.0)
+            # numerical guards (negative-variance clamp, fully-masked
+            # identity stats) live in compute_batch_stats — shared with
+            # FusedBottleneck
+            mean, var, unbiased, any_valid = compute_batch_stats(x, mask)
             if not self.is_initializing():
-                n = 1
-                for a in reduce_axes:
-                    n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+                new_mean = m * ra_mean.value + (1 - m) * mean
+                new_var = m * ra_var.value + (1 - m) * unbiased
+                if any_valid is not None:
+                    # fully-masked batch leaves the running stats untouched
+                    # (the reference never runs such a batch at all)
+                    new_mean = jnp.where(any_valid, new_mean, ra_mean.value)
+                    new_var = jnp.where(any_valid, new_var, ra_var.value)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale

@@ -37,6 +37,7 @@ from .common import (
     BatchNorm,
     ChannelDropout,
     avg_pool,
+    compute_batch_stats,
     conv,
     global_avg_pool,
     kaiming_normal,
@@ -159,55 +160,22 @@ class FusedBottleneck(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((cin,), jnp.float32)
         )
-        if train and sample_mask is not None:
-            axes = tuple(range(x.ndim - 1))
-            x32 = x.astype(jnp.float32)
-            mf = sample_mask.astype(jnp.float32).reshape(
-                (x.shape[0],) + (1,) * (x.ndim - 1)
+        if train:
+            # statistics + numerical guards shared with models/common.py
+            # BatchNorm (torch-exact unbiased running-var update; the parity
+            # harness measured percent-level eval drift without it)
+            mean, var, unbiased, any_valid = compute_batch_stats(
+                x, sample_mask
             )
-            per_sample = 1
-            for a in axes[1:]:
-                per_sample *= x.shape[a]
-            n_valid = jnp.sum(mf) * per_sample
-            denom = jnp.maximum(n_valid, 1.0)
-            any_valid = n_valid > 0
-            mean = jnp.sum(x32 * mf, axis=axes) / denom
-            var = jnp.sum(jnp.square(x32) * mf, axis=axes) / denom \
-                - jnp.square(mean)
-            # E[x^2]-mean^2 can round NEGATIVE in f32 when the valid-sample
-            # variance is (near-)zero, making rsqrt(var+eps) NaN — same
-            # cancellation guard as models/common.py BatchNorm
-            var = jnp.maximum(var, 0.0)
-            # fully-masked: identity normalization; a var=0 floor would
-            # overflow deep nets to inf (see models/common.py BatchNorm)
-            mean = jnp.where(any_valid, mean, 0.0)
-            var = jnp.where(any_valid, var, 1.0)
             if not self.is_initializing():
-                # torch folds the UNBIASED batch variance into running_var
-                # (models/common.py _TorchSemanticsBatchNorm — the parity
-                # harness measured percent-level eval drift without this)
-                unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
                 m = BN_MOMENTUM
-                ra_mean.value = jnp.where(
-                    any_valid, m * ra_mean.value + (1 - m) * mean, ra_mean.value
-                )
-                ra_var.value = jnp.where(
-                    any_valid, m * ra_var.value + (1 - m) * unbiased,
-                    ra_var.value,
-                )
-        elif train:
-            axes = tuple(range(x.ndim - 1))
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=axes)
-            var = jnp.var(x32, axis=axes)
-            if not self.is_initializing():
-                n = 1
-                for a in axes:
-                    n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
-                m = BN_MOMENTUM
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+                new_mean = m * ra_mean.value + (1 - m) * mean
+                new_var = m * ra_var.value + (1 - m) * unbiased
+                if any_valid is not None:
+                    new_mean = jnp.where(any_valid, new_mean, ra_mean.value)
+                    new_var = jnp.where(any_valid, new_var, ra_var.value)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
         else:
             mean, var = ra_mean.value, ra_var.value
         dtype = self.dtype or x.dtype

@@ -196,22 +196,35 @@ class AsyncNpzSaver:
                     self._busy -= 1
                     self._wake.notify_all()
 
-    def wait(self):
+    def wait(self, timeout: float | None = None):
         """Block until every submitted snapshot is on disk; re-raise the
-        first writer error."""
+        first writer error. With `timeout`, give up after that many
+        seconds (work may still be pending)."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
         with self._lock:
             while self._pending or self._busy:
-                self._wake.wait()
+                remaining = None
+                if deadline is not None:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        return
+                self._wake.wait(remaining)
             if self._error is not None:
                 err, self._error = self._error, None
                 raise err
 
     def _drain_at_exit(self):
+        # Bounded: the writer's device_get can stall indefinitely on the
+        # tunneled relay (docs/PERF.md), and an unbounded atexit wait would
+        # turn a crashed run into a process that never exits. 120 s covers
+        # the slowest observed full-parameter fetch (~17 s) with margin.
         try:
             with self._lock:
                 done = self._closed and not self._pending and not self._busy
             if not done:
-                self.wait()
+                self.wait(timeout=120.0)
         except Exception:  # noqa: BLE001 — already logged by the writer
             pass
 

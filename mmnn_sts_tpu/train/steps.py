@@ -60,11 +60,14 @@ def _shard_batch(tree, data_axis: str | None, batch_dim: int,
     """Constrain the micro-batch axis of every leaf onto the mesh 'data'
     axis (SPMD data parallelism inside the fused epoch program); image
     leaves additionally constrain their depth axis onto `space_axis`
-    (spatial partitioning of the volume grid — parallel/mesh.py). No-op
-    when data_axis is None (single chip). Requires a mesh context at trace
-    time.
+    (spatial partitioning of the volume grid — parallel/mesh.py). Each
+    axis applies independently: a space-only mesh (data_axis None — the
+    config whose point is activations too big for one chip's HBM) still
+    constrains the depth axis, and non-image leaves there pin to
+    replicated. No-op only when both axes are None (single chip).
+    Requires a mesh context at trace time.
     """
-    if data_axis is None:
+    if data_axis is None and space_axis is None:
         return tree
 
     def constrain(x):

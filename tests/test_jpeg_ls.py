@@ -186,6 +186,18 @@ def test_signed_jpeg_ls_pixels(tmp_path, rng):
     )
 
 
+def test_signed_8bit_jpeg_ls_pixels(tmp_path, rng):
+    """8-bit signed: the stored words are 8-bit two's complement, and the
+    decoder hands them back in a uint16 array — sign extension must key on
+    BitsAllocated, not the array dtype (0xFF is -1, not +255)."""
+    img8 = rng.integers(-128, 128, size=(12, 12)).astype(np.int8)
+    p = str(tmp_path / "s8.dcm")
+    write_dicom_jpeg_ls(p, img8.view(np.uint8), signed=True, bits=8)
+    np.testing.assert_array_equal(
+        load_dicom_series(p), img8.astype(np.float32)[None]
+    )
+
+
 def test_multiframe_jpeg_ls_mask(tmp_path):
     vol = np.zeros((4, 10, 10), np.uint16)
     vol[1:3, 2:7, 3:8] = 255

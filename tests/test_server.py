@@ -90,6 +90,47 @@ def test_invocations_bad_payload_is_400(server):
     assert "error" in json.loads(ei.value.read())
 
 
+def test_invocations_wrong_shape_is_400(server):
+    """Inputs the artifact rejects (wrong feature width) are the client's
+    fault — 400, not a server fault."""
+    srv, _ = server
+    x = np.zeros((2, 7), np.float32)  # model expects (B, 11)
+    req = urllib.request.Request(
+        _url(srv, "/invocations"),
+        data=json.dumps({"inputs": x.tolist()}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+
+
+def test_model_fault_is_500(server):
+    """Execution faults (artifact incompatibility, XLA failure, resource
+    exhaustion) must surface as 5xx so endpoint monitoring sees a server
+    fault, not an invalid-input signal."""
+    srv, _ = server
+    orig = srv.model
+
+    class Boom:
+        def __call__(self, inputs):
+            raise RuntimeError("XLA compile failure")
+
+    srv.model = Boom()
+    try:
+        req = urllib.request.Request(
+            _url(srv, "/invocations"),
+            data=json.dumps({"inputs": [[0.0] * 11]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 500
+        assert "error" in json.loads(ei.value.read())
+    finally:
+        srv.model = orig
+
+
 def test_unknown_path_is_404(server):
     srv, _ = server
     with pytest.raises(urllib.error.HTTPError) as ei:

@@ -138,6 +138,76 @@ def test_spatially_sharded_superstep_matches_single_device(rng):
     )
 
 
+def test_shard_batch_constrains_space_axis_without_data_axis():
+    """A space-only mesh reaches _shard_batch with data_axis=None — the
+    depth constraint must still be applied (it is the whole point of
+    spatial partitioning), not silently dropped by the data-axis no-op."""
+    from mmnn_sts_tpu.train.steps import _shard_batch
+
+    mesh = make_mesh(shape=[8], axis_names=("space",))
+    x = jnp.zeros((2, 4, 8, 8, 8, 1))
+
+    @jax.jit
+    def constrained(v):
+        return _shard_batch(v, None, 1, space_axis="space")
+
+    with mesh:
+        out = constrained(x)
+    assert "space" in str(out.sharding.spec)
+
+
+def test_fused_epoch_space_only_mesh_matches_unsharded(rng):
+    """survival_train_epoch on a mesh with ONLY a 'space' axis (the config
+    for volumes whose activations exceed one chip's HBM): data_axis is None
+    but the depth constraint must still shard the conv grid, and the result
+    must equal unsharded execution."""
+    from mmnn_sts_tpu.data.loader import EpochBatcher, build_device_dataset
+    from mmnn_sts_tpu.train.steps import survival_train_epoch
+
+    n, b, s = 8, 4, 16
+    vols = rng.normal(size=(n, s, s, s, 1)).astype(np.float32)
+    e = (rng.random((n, 2)) < 0.8).astype(np.float32)
+    d = rng.integers(1, 100, size=(n, 2)).astype(np.float32)
+
+    model = TinyCNN(in_channels=1, out_channels=2, feature_channels=4,
+                    dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+    batcher = EpochBatcher(n, micro_batch=b, accum_steps=1, seed=0,
+                           two_level=True)
+    idx = jnp.asarray(batcher.epoch_indices(0), dtype=jnp.int32)  # (2,1,4)
+
+    st1 = create_train_state(model, tx, jnp.zeros((b, s, s, s, 1)), seed=0)
+    st1, out1 = survival_train_epoch(
+        st1, jnp.asarray(vols), jnp.asarray(e), jnp.asarray(d), idx,
+        jax.random.key(3), blend=False, augment=False,
+    )
+
+    mesh = make_mesh(shape=[8], axis_names=("space",))
+    ds = build_device_dataset(np.arange(n), mesh, image_volumes=vols,
+                              events=e, durations=d)
+    st2 = create_train_state(model, tx, jnp.zeros((b, s, s, s, 1)), seed=0)
+    st2 = st2.replace(
+        params=replicate(mesh, st2.params),
+        batch_stats=replicate(mesh, st2.batch_stats),
+        opt_state=replicate(mesh, st2.opt_state),
+    )
+    with mesh:
+        st2, out2 = survival_train_epoch(
+            st2, ds.model_inputs(), ds.events, ds.durations, idx,
+            jax.random.key(3), blend=False, augment=False,
+            data_axis=None, space_axis="space",
+        )
+    np.testing.assert_allclose(np.asarray(out1["loss"]),
+                               np.asarray(out2["loss"]), rtol=1e-4)
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5
+        ),
+        st1.params,
+        st2.params,
+    )
+
+
 def test_fused_epoch_with_space_axis_matches_unsharded(rng):
     """survival_train_epoch with data+space sharding constraints inside the
     program equals the unsharded epoch (same gathers, same keys)."""

@@ -150,6 +150,36 @@ def test_async_npz_saver_surfaces_write_errors(tiny_state, tmp_path):
     saver.close()
 
 
+def test_async_npz_saver_wait_timeout_returns(tiny_state, tmp_path):
+    """wait(timeout=...) gives up instead of blocking forever while a write
+    is stuck — the atexit drain relies on this so a hung relay fetch can't
+    turn a crashed run into a process that never exits."""
+    import threading
+    import time
+
+    saver = ckpt.AsyncNpzSaver()
+    release = threading.Event()
+
+    class SlowLeaf:
+        """Pytree leaf whose np.asarray blocks until released (stands in
+        for a device_get stalled on the tunneled relay)."""
+
+        shape = (1,)
+        dtype = np.float32
+
+        def __array__(self, dtype=None, copy=None):
+            release.wait(30.0)
+            return np.zeros(1, np.float32)
+
+    p = str(tmp_path / "slow.npz")
+    saver.submit(p, {"w": SlowLeaf()})
+    t0 = time.monotonic()
+    saver.wait(timeout=0.5)  # must RETURN, not hang
+    assert time.monotonic() - t0 < 10.0
+    release.set()
+    saver.close()
+
+
 def test_snapshot_survives_donation(tiny_state, rng):
     """snapshot_params buffers must stay valid after the donating superstep
     reuses the live state's buffers (the background save reads them later)."""
