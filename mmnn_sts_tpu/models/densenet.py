@@ -45,6 +45,27 @@ from .common import (
 )
 
 
+def _s2d_dn(sd):
+    return ("NDHWC", "DHWIO", "NDHWC") if sd == 3 else ("NHWC", "HWIO", "NHWC")
+
+
+def _s2d_conv(xs, w, sd):
+    """The blocked 4-tap stride-1 conv. Weight gradient = XLA's
+    conv-backprop-filter, measured BEST of three formulations on the v5e
+    (docs/PERF.md round 3 "stem weight-grad"): a custom-vjp patches-GEMM
+    via conv_general_dilated_patches cost +84 ms/superstep (its grouped
+    one-channel-per-group patch conv is itself layout-hostile), and a
+    tap-major slice+concat patches-GEMM cost +183 ms (the 537 MB patch
+    materialization reads a 16-lane-minor buffer at unaligned spatial
+    offsets) — both rejected on same-sitting A/B evidence vs 109.6 ms with
+    XLA's native backprop-filter."""
+    import jax
+
+    return jax.lax.conv_general_dilated(
+        xs, w, (1,) * sd, [(2, 1)] * sd, dimension_numbers=_s2d_dn(sd)
+    )
+
+
 class S2DStemConv(nn.Module):
     """The 7^sd stride-2 stem convolution, computed space-to-depth.
 
@@ -124,10 +145,7 @@ class S2DStemConv(nn.Module):
 
         if self.dtype is not None:
             xs, w = xs.astype(self.dtype), w.astype(self.dtype)
-        dn = ("NDHWC", "DHWIO", "NDHWC") if sd == 3 else ("NHWC", "HWIO", "NHWC")
-        return jax.lax.conv_general_dilated(
-            xs, w, (1,) * sd, [(2, 1)] * sd, dimension_numbers=dn
-        )
+        return _s2d_conv(xs, w, sd)
 
 
 class FusedBottleneck(nn.Module):

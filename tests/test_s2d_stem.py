@@ -74,6 +74,44 @@ def test_s2d_weight_gradient_flows(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_s2d_input_gradient_matches_plain_conv(rng):
+    """The custom-vjp conv (patches-GEMM weight grad, _s2d_conv_bwd) must
+    also return the exact input cotangent of the conv it replaces."""
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 2)).astype(np.float32))
+    mod = S2DStemConv(features=4, spatial_dims=3)
+    variables = mod.init(jax.random.key(0), x)
+
+    g1 = jax.grad(lambda a: jnp.sum(mod.apply(variables, a) ** 2))(x)
+    g2 = jax.grad(
+        lambda a: jnp.sum(_plain_conv(a, variables["params"]["kernel"], 3) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_weight_gradient_under_vmap(rng):
+    """The grouped-microbatch superstep vmaps the model over group members
+    (train/steps.py); the custom vjp must batch correctly."""
+    x = jnp.asarray(rng.normal(size=(2, 2, 8, 8, 8, 2)).astype(np.float32))
+    mod = S2DStemConv(features=4, spatial_dims=3)
+    variables = mod.init(jax.random.key(0), x[0])
+
+    def loss(params, xb):
+        return jnp.sum(mod.apply({"params": params}, xb) ** 2)
+
+    def loss_plain(params, xb):
+        return jnp.sum(_plain_conv(xb, params["kernel"], 3) ** 2)
+
+    g1 = jax.grad(
+        lambda p: jnp.sum(jax.vmap(lambda xb: loss(p, xb))(x))
+    )(variables["params"])["kernel"]
+    g2 = jax.grad(
+        lambda p: jnp.sum(jax.vmap(lambda xb: loss_plain(p, xb))(x))
+    )(variables["params"])["kernel"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_densenet_still_runs_with_s2d(rng):
     # 32^3 is the smallest grid densenet121's 5 downsamplings keep nonzero
     from mmnn_sts_tpu.models.densenet import densenet121
