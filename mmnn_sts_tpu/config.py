@@ -164,6 +164,12 @@ class TPUConfig:
     # parameter layout differs from the unfused path — see
     # models/densenet.FusedBottleneck)
     use_pallas_fused_dense: bool = False
+    # rematerialize DenseNet backbone activations in the backward pass
+    # (jax.checkpoint per dense layer / transition): trades ~⅓ more forward
+    # FLOPs for dropping every layer-internal activation from HBM, for
+    # volumes/batches whose activations exceed one chip's HBM (pairs with
+    # mesh_axes [data, space]). Numerics identical (tests/test_remat.py).
+    remat: bool = False
 
 
 @dataclass

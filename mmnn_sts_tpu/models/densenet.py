@@ -281,6 +281,13 @@ class DenseNet(nn.Module):
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # TPU.remat: jax.checkpoint each dense layer / transition so the
+    # backward pass recomputes layer-internal activations (the bottleneck
+    # conv, BN/ReLU intermediates) instead of holding them in HBM — the
+    # FLOPs-for-memory trade for volumes/batches beyond one chip's HBM.
+    # The gradcam-target layer stays unwrapped (its activation IS the
+    # captured output). Numerics identical: tests/test_remat.py.
+    remat: bool = False
 
     def backbone(self, x, train: bool = False, gradcam_probe=None,
                  sample_mask=None):
@@ -292,12 +299,20 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1, sd)
 
+        layer_cls, transition_cls = DenseLayer, Transition
+        if self.remat:
+            # static_argnums counts __call__'s positional args with the
+            # module instance at 0, so `train` (a python bool) is 2
+            layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
+            transition_cls = nn.remat(Transition, static_argnums=(2,))
+
         captured = None
         n_blocks = len(self.block_config)
         for i, num_layers in enumerate(self.block_config):
             for j in range(num_layers):
                 is_target = (i == n_blocks - 1) and (j == num_layers - 1)
-                x, cap = DenseLayer(
+                cls = DenseLayer if is_target else layer_cls
+                x, cap = cls(
                     sd, self.growth_rate, self.bn_size, self.dropout_prob,
                     dtype=self.dtype, is_gradcam_target=is_target,
                     use_pallas=self.use_pallas,
@@ -310,8 +325,9 @@ class DenseNet(nn.Module):
                 x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                               name="norm5")(x, sample_mask)
             else:
-                x = Transition(sd, x.shape[-1] // 2, dtype=self.dtype,
-                               name=f"transition{i + 1}")(x, train, sample_mask)
+                x = transition_cls(sd, x.shape[-1] // 2, dtype=self.dtype,
+                                   name=f"transition{i + 1}")(x, train,
+                                                              sample_mask)
         return x, captured
 
     def features(self, x, train: bool = False):

@@ -31,6 +31,7 @@ def build_image_model(cfg: Config) -> nn.Module:
     name = im.name.lower()
     dtype = _dtype(cfg)
     use_pallas = bool(getattr(cfg.tpu, "use_pallas_fused_dense", False))
+    remat = bool(getattr(cfg.tpu, "remat", False))
     if name.startswith("densenet121"):
         return densenet121(
             spatial_dims=im.spatial_dims,
@@ -40,6 +41,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             dropout_prob=im.dropout_prob,
             dtype=dtype,
             use_pallas=use_pallas,
+            remat=remat,
         )
     if name.startswith("tinydensenet"):
         return tiny_densenet(
@@ -50,6 +52,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             dropout_prob=im.dropout_prob,
             dtype=dtype,
             use_pallas=use_pallas,
+            remat=remat,
         )
     if name.startswith("tinycnn"):
         return TinyCNN(
@@ -69,6 +72,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             feature_channels=None,
             dropout_prob=im.dropout_prob,
             dtype=dtype,
+            remat=remat,
         )
     if name.startswith("densenet201"):
         return densenet201(
@@ -76,6 +80,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             in_channels=im.in_channels,
             out_channels=im.num_classes,
             dtype=dtype,
+            remat=remat,
         )
     if name.startswith("densenet169") or name.startswith("densenet264"):
         # exported by the reference's vendored module (__all__,
@@ -89,6 +94,7 @@ def build_image_model(cfg: Config) -> nn.Module:
             feature_channels=None,
             block_config=block,
             dtype=dtype,
+            remat=remat,
         )
     if name.startswith("seresnet50"):
         return SEResNet50(
