@@ -128,12 +128,23 @@ bool ParseHeader(const std::vector<uint8_t>& blob, NiftiInfo* info) {
   int16_t ndim = ReadField<int16_t>(blob.data(), 40, swap);
   if (ndim < 1 || ndim > 7) return false;
   info->ndim = ndim;
-  for (int i = 0; i < ndim; ++i)
+  for (int i = 0; i < ndim; ++i) {
     info->shape[i] = ReadField<int16_t>(blob.data(), 40 + 2 * (i + 1), swap);
+    if (info->shape[i] <= 0) return false;  // corrupt header
+  }
   info->datatype = ReadField<int16_t>(blob.data(), 70, swap);
   float vox_offset = ReadField<float>(blob.data(), 108, swap);
+  // Guard the float->int64 conversion: a corrupt/hostile header can carry
+  // NaN or a value beyond int64 range, where the cast is UB (x86 cvttsd2si
+  // yields INT64_MIN, which made `avail` in DecodeVoxels hugely positive
+  // and defeated its bounds check -> wild out-of-bounds read). Any offset
+  // past the actual blob is equally invalid.
+  if (!(vox_offset >= 0.0f) ||
+      vox_offset > static_cast<float>(blob.size()))
+    return false;
   info->vox_offset = vox_offset > 0 ? static_cast<int64_t>(vox_offset)
                                     : kHeaderSize + 4;
+  if (info->vox_offset > static_cast<int64_t>(blob.size())) return false;
   info->scl_slope = ReadField<float>(blob.data(), 112, swap);
   info->scl_inter = ReadField<float>(blob.data(), 116, swap);
   return true;

@@ -176,3 +176,43 @@ def test_cohort_build_native_partial_fallback(tmp_path, rng, monkeypatch):
     serial = images_mod.load_patient_volume(records[1], (8, 8, 8), "fill")
     np.testing.assert_allclose(cohort.volumes[1, ..., 0], serial,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_native_rejects_corrupt_vox_offset(tmp_path):
+    """A hostile/corrupt header with vox_offset beyond int64 float range
+    used to hit UB in the float->int64 cast (x86: INT64_MIN), which made
+    the bounds check pass and read out of bounds. Must fail cleanly."""
+    import gzip
+    import struct
+
+    for bad_offset in (1e30, float("nan"), 1e7):  # 1e7 > blob size
+        header = bytearray(348)
+        struct.pack_into("<i", header, 0, 348)
+        struct.pack_into("<8h", header, 40, 3, 4, 4, 4, 1, 1, 1, 1)
+        struct.pack_into("<h", header, 70, 16)  # float32
+        struct.pack_into("<f", header, 108, bad_offset)
+        header[344:348] = b"n+1\x00"
+        blob = bytes(header) + b"\x00" * 4 + b"\x00" * (4 * 64)
+        p = str(tmp_path / "bad.nii.gz")
+        with gzip.open(p, "wb") as f:
+            f.write(blob)
+        with pytest.raises(IOError):
+            native.load_nifti_native(p)
+
+
+def test_native_rejects_nonpositive_dim(tmp_path):
+    import gzip
+    import struct
+
+    header = bytearray(348)
+    struct.pack_into("<i", header, 0, 348)
+    struct.pack_into("<8h", header, 40, 3, 4, 0, 4, 1, 1, 1, 1)  # dim 0
+    struct.pack_into("<h", header, 70, 16)
+    struct.pack_into("<f", header, 108, 352.0)
+    header[344:348] = b"n+1\x00"
+    blob = bytes(header) + b"\x00" * 4
+    p = str(tmp_path / "bad0.nii.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(blob)
+    with pytest.raises(IOError):
+        native.load_nifti_native(p)
