@@ -40,6 +40,11 @@ the relative drift is <0.2% per update and only affects eval-mode
 forwards. Everything else is bitwise-mirrorable math.
 
 Run:  python benchmarks/parity_twin.py [--epochs 12] [--out PARITY_TWIN.json]
+      python benchmarks/parity_twin.py --image-model tinydensenet --size 16
+        (the dense-block-family twin: stem/dense-layer/transition/features
+         modules shared with the flagship DenseNet121 — extends trajectory
+         parity beyond TinyCNN to the architecture the headline model uses;
+         -> PARITY_TWIN_DENSE.json)
       python benchmarks/parity_twin.py --task classification
         (the classification loop has distinct semantics — one optimizer
          step per batch with no accumulation, BCE-with-logits + pos_weight,
@@ -97,9 +102,81 @@ def make_synthetic_cohort(n: int, size: int, n_clinical: int = 11, seed: int = 0
 # ---------------------------------------------------------------------------
 
 
-def build_torch_twin(n_clinical: int, features: int = 12, classes: int = 2):
+def build_torch_twin(n_clinical: int, features: int = 12, classes: int = 2,
+                     image_arch: str = "tinycnn"):
     import torch
     import torch.nn as nn
+
+    class TwinDenseLayer(nn.Module):
+        """Mirror of models/densenet.DenseLayer (dropout 0 in the twin):
+        BN->ReLU->1x1conv(bn_size*growth) -> BN->ReLU->3^3conv(growth,p1)
+        -> concat([x, y])."""
+
+        def __init__(self, in_ch, growth, bn_size):
+            super().__init__()
+            self.norm1 = nn.BatchNorm3d(in_ch)
+            self.conv1 = nn.Conv3d(in_ch, bn_size * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm3d(bn_size * growth)
+            self.conv2 = nn.Conv3d(bn_size * growth, growth, 3, padding=1,
+                                   bias=False)
+
+        def forward(self, x):
+            y = self.conv1(torch.relu(self.norm1(x)))
+            y = self.conv2(torch.relu(self.norm2(y)))
+            return torch.cat([x, y], dim=1)
+
+    class TwinTransition(nn.Module):
+        """Mirror of models/densenet.Transition: BN->ReLU->1x1conv(in//2)
+        -> avgpool(2,2)."""
+
+        def __init__(self, in_ch, out_ch):
+            super().__init__()
+            self.norm = nn.BatchNorm3d(in_ch)
+            self.conv = nn.Conv3d(in_ch, out_ch, 1, bias=False)
+
+        def forward(self, x):
+            x = self.conv(torch.relu(self.norm(x)))
+            return torch.nn.functional.avg_pool3d(x, 2, 2)
+
+    class TwinTinyDensenet(nn.Module):
+        """Mirror of models/densenet.DenseNet with the TinyDenseNet block
+        config (6, 12, 4) — the SAME module types as the flagship
+        DenseNet121 (stem 7^3 s2 conv + BN + ReLU + maxpool(3,2,1), dense
+        layers, transitions, final BN, then the custom features head
+        ReLU->GAP->Linear(features)); only the block counts differ, so
+        trajectory parity here covers the dense-block family's training
+        dynamics. The flax side computes the stem space-to-depth
+        (S2DStemConv) — exact-equality with this plain stride-2 conv is
+        separately proven by tests/test_s2d_stem.py."""
+
+        def __init__(self, block_config=(6, 12, 4), growth=32, init_f=64,
+                     bn_size=4):
+            super().__init__()
+            self.conv0 = nn.Conv3d(2, init_f, 7, stride=2, padding=3,
+                                   bias=False)
+            self.norm0 = nn.BatchNorm3d(init_f)
+            stages = {}
+            ch = init_f
+            for i, n_layers in enumerate(block_config):
+                for j in range(n_layers):
+                    stages[f"block{i + 1}_layer{j + 1}"] = \
+                        TwinDenseLayer(ch, growth, bn_size)
+                    ch += growth
+                if i < len(block_config) - 1:
+                    stages[f"transition{i + 1}"] = TwinTransition(ch, ch // 2)
+                    ch //= 2
+            self.stages = nn.ModuleDict(stages)
+            self.norm5 = nn.BatchNorm3d(ch)
+            self.features = nn.Linear(ch, features)
+
+        def forward(self, x):
+            x = torch.relu(self.norm0(self.conv0(x)))
+            x = torch.nn.functional.max_pool3d(x, 3, stride=2, padding=1)
+            for mod in self.stages.values():  # insertion order = flax order
+                x = mod(x)
+            x = torch.relu(self.norm5(x))
+            x = x.mean(dim=(2, 3, 4))
+            return self.features(x)
 
     class TwinTinyCNN(nn.Module):
         """Mirror of models/tinycnn.TinyCNN: five VALID 3^3 convs (widths
@@ -147,7 +224,9 @@ def build_torch_twin(n_clinical: int, features: int = 12, classes: int = 2):
 
         def __init__(self):
             super().__init__()
-            self.image_model = TwinTinyCNN()
+            self.image_model = (TwinTinyDensenet()
+                                if image_arch == "tinydensenet"
+                                else TwinTinyCNN())
             self.clinical_model = TwinMLP()
             self.output_head = nn.Linear(2 * features, classes)
             self.image_output_head = nn.Linear(features, classes)
@@ -174,8 +253,34 @@ def copy_flax_to_torch(variables, tmodel):
     def t(x):
         return torch.tensor(np.asarray(x))
 
+    def copy_bn(flax_bn, torch_bn):
+        torch_bn.weight.copy_(t(flax_bn["BatchNorm_0"]["scale"]))
+        torch_bn.bias.copy_(t(flax_bn["BatchNorm_0"]["bias"]))
+
+    def copy_conv(flax_conv, torch_conv):
+        torch_conv.weight.copy_(t(flax_conv["kernel"]).permute(4, 3, 0, 1, 2))
+
     with torch.no_grad():
         im = p["image_model"]
+        if "conv0" in im:  # densenet family (see TwinTinyDensenet)
+            tim = tmodel.image_model
+            tim.conv0.weight.copy_(t(im["conv0"]["kernel"]).permute(4, 3, 0, 1, 2))
+            copy_bn(im["norm0"], tim.norm0)
+            for name, mod in tim.stages.items():
+                fl = im[name]
+                if name.startswith("transition"):
+                    copy_bn(fl["norm"], mod.norm)
+                    copy_conv(fl["conv"], mod.conv)
+                else:
+                    copy_bn(fl["norm1"], mod.norm1)
+                    copy_conv(fl["conv1"], mod.conv1)
+                    copy_bn(fl["norm2"], mod.norm2)
+                    copy_conv(fl["conv2"], mod.conv2)
+            copy_bn(im["norm5"], tim.norm5)
+            tim.features.weight.copy_(t(im["feature_layer"]["kernel"]).T)
+            tim.features.bias.copy_(t(im["feature_layer"]["bias"]))
+            _copy_clinical_and_heads(p, tmodel, t)
+            return
         for i in range(5):
             conv = im[f"conv{i + 1}"]
             tmodel.image_model.convs[i].weight.copy_(
@@ -187,7 +292,13 @@ def copy_flax_to_torch(variables, tmodel):
             tmodel.image_model.bns[i].bias.copy_(t(bn["bias"]))
         tmodel.image_model.features.weight.copy_(t(im["features"]["kernel"]).T)
         tmodel.image_model.features.bias.copy_(t(im["features"]["bias"]))
+        _copy_clinical_and_heads(p, tmodel, t)
 
+
+def _copy_clinical_and_heads(p, tmodel, t):
+    import torch
+
+    with torch.no_grad():
         cl = p["clinical_model"]
         names = [f"dense_{i}" for i in range(5)] + ["dense_features"]
         bn_names = [f"bn_{i}" for i in range(5)] + ["bn_features"]
@@ -257,6 +368,9 @@ class TwinConfig:
     blend_update_interval: int = 2
     seed: int = 7
     ragged: bool = False  # n_train not divisible by super-batch (wrap-pad)
+    # "tinycnn" | "tinydensenet" — the latter mirrors the dense-block family
+    # (the flagship DenseNet121's module types; needs size >= 16)
+    image_model: str = "tinycnn"
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +390,7 @@ def run_torch(cfg: TwinConfig, data, variables):
     va = slice(n, n + cfg.n_val)
 
     torch.manual_seed(0)
-    model = build_torch_twin(cfg.n_clinical)
+    model = build_torch_twin(cfg.n_clinical, image_arch=cfg.image_model)
     copy_flax_to_torch(variables, model)
 
     # Mirror ops/augment.eval_transform — the step applies the deterministic
@@ -395,13 +509,24 @@ def run_torch(cfg: TwinConfig, data, variables):
 # ---------------------------------------------------------------------------
 
 
+def _flax_image_model(cfg: TwinConfig):
+    if cfg.image_model == "tinydensenet":
+        from mmnn_sts_tpu.models.densenet import tiny_densenet
+
+        return tiny_densenet(in_channels=2, out_channels=2,
+                             feature_channels=12, dropout_prob=0.0)
+    from mmnn_sts_tpu.models.tinycnn import TinyCNN
+
+    return TinyCNN(in_channels=2, out_channels=2, feature_channels=12,
+                   dropout_prob=0.0)
+
+
 def run_jax(cfg: TwinConfig, data, tmp_dir: str):
     import jax
     import jax.numpy as jnp
 
     from mmnn_sts_tpu.data.loader import build_device_dataset
     from mmnn_sts_tpu.models.multimodal import MultiModalModel
-    from mmnn_sts_tpu.models.tinycnn import TinyCNN
     from mmnn_sts_tpu.parallel.mesh import make_mesh
     from mmnn_sts_tpu.train.loop import LoopConfig, train_survival
     from mmnn_sts_tpu.train.schedule import make_optimizer
@@ -419,8 +544,7 @@ def run_jax(cfg: TwinConfig, data, tmp_dir: str):
         image_volumes=imgs[n:n + cfg.n_val], clinical=clin[n:n + cfg.n_val],
         events=events[n:n + cfg.n_val], durations=durations[n:n + cfg.n_val],
     )
-    image_model = TinyCNN(in_channels=2, out_channels=2, feature_channels=12,
-                          dropout_prob=0.0)
+    image_model = _flax_image_model(cfg)
     model = MultiModalModel(image_model=image_model,
                             num_clinical_inputs=cfg.n_clinical,
                             num_classes=2, num_features=12, blend=True,
@@ -513,7 +637,7 @@ def run_torch_class(cfg: TwinConfig, data, variables):
     va = slice(n, n + cfg.n_val)
 
     torch.manual_seed(0)
-    model = build_torch_twin(cfg.n_clinical)
+    model = build_torch_twin(cfg.n_clinical, image_arch=cfg.image_model)
     copy_flax_to_torch(variables, model)
 
     timgs = np.empty_like(imgs)
@@ -637,7 +761,6 @@ def run_jax_class(cfg: TwinConfig, data, tmp_dir: str):
 
     from mmnn_sts_tpu.data.loader import build_device_dataset
     from mmnn_sts_tpu.models.multimodal import MultiModalModel
-    from mmnn_sts_tpu.models.tinycnn import TinyCNN
     from mmnn_sts_tpu.parallel.mesh import make_mesh
     from mmnn_sts_tpu.train.loop import LoopConfig, train_classification
     from mmnn_sts_tpu.train.schedule import make_optimizer
@@ -655,8 +778,7 @@ def run_jax_class(cfg: TwinConfig, data, tmp_dir: str):
         image_volumes=imgs[n:n + cfg.n_val], clinical=clin[n:n + cfg.n_val],
         labels=labels[n:n + cfg.n_val],
     )
-    image_model = TinyCNN(in_channels=2, out_channels=2, feature_channels=12,
-                          dropout_prob=0.0)
+    image_model = _flax_image_model(cfg)
     model = MultiModalModel(image_model=image_model,
                             num_clinical_inputs=cfg.n_clinical,
                             num_classes=2, num_features=12, blend=True,
@@ -770,11 +892,19 @@ def main():
                          "masked-tail semantics (PARITY.md)")
     ap.add_argument("--task", choices=("survival", "classification"),
                     default="survival")
+    ap.add_argument("--image-model", choices=("tinycnn", "tinydensenet"),
+                    default="tinycnn",
+                    help="tinydensenet = the dense-block family twin (the "
+                         "flagship DenseNet121's module types; size >= 16)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.image_model == "tinydensenet" and args.size < 16:
+        args.size = 16  # two transitions need /16 of spatial extent
     if args.out is None:
         args.out = ("PARITY_TWIN.json" if args.task == "survival"
                     else "PARITY_TWIN_CLASS.json")
+        if args.image_model == "tinydensenet":
+            args.out = "PARITY_TWIN_DENSE.json"
 
     import jax
 
@@ -784,7 +914,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     cfg = TwinConfig(epochs=args.epochs, n_train=args.n_train, size=args.size,
-                     ragged=args.ragged)
+                     ragged=args.ragged, image_model=args.image_model)
     if cfg.ragged:
         cfg.n_train -= 4
     import tempfile

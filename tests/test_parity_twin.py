@@ -109,6 +109,43 @@ def test_ragged_trajectories_stay_close(ragged_twin_result):
 
 
 @pytest.fixture(scope="module")
+def dense_twin_result(tmp_path_factory):
+    """Dense-block-family twin (TinyDenseNet): the same stem / dense-layer /
+    transition / features-head module types as the flagship DenseNet121, so
+    trajectory agreement here extends train-dynamics parity from TinyCNN to
+    the architecture the headline model uses. size=16 is the smallest extent
+    the two transitions support."""
+    cfg = TwinConfig(n_train=16, n_val=8, size=16, epochs=3, micro_batch=4,
+                     accum=2, blend_update_interval=2, seed=7,
+                     image_model="tinydensenet")
+    data = make_synthetic_cohort(cfg.n_train + cfg.n_val, cfg.size,
+                                 cfg.n_clinical, seed=cfg.seed)
+    tmp = str(tmp_path_factory.mktemp("dense_twin"))
+    jax_hist, variables = run_jax(cfg, data, tmp)
+    torch_hist = run_torch(cfg, data, variables)
+    return compare(cfg, jax_hist, torch_hist)
+
+
+def test_dense_first_epoch_loss_matches_tight(dense_twin_result):
+    # same init (weights copied flax->torch incl. every BN/conv in the dense
+    # blocks), same batches -> epoch-1 agreement at float-noise level; a
+    # mis-mapped parameter or BN/maxpool/avgpool semantic drift in the dense
+    # stack breaks this immediately
+    assert dense_twin_result["first_epoch_train_rel_delta"] < 1e-3, \
+        dense_twin_result
+
+
+def test_dense_trajectories_stay_close(dense_twin_result):
+    # a deeper net amplifies float noise faster than TinyCNN, but semantic
+    # drift (stem s2d gradient, transition pooling, concat ordering, BN
+    # running-stat updates through 22 dense layers) diverges >>5% in epochs
+    assert dense_twin_result["max_train_rel_delta"] < 0.05, dense_twin_result
+    assert dense_twin_result["max_val_rel_delta"] < 0.05, dense_twin_result
+    assert dense_twin_result["max_selection_rel_delta"] < 0.02, \
+        dense_twin_result
+
+
+@pytest.fixture(scope="module")
 def class_twin_result(tmp_path_factory):
     cfg = TwinConfig(n_train=16, n_val=8, size=12, epochs=4, micro_batch=8,
                      accum=1, blend_update_interval=2, seed=7)
