@@ -222,18 +222,31 @@ def _run_with_watchdog():
         return None, (f"no result (rc={out.returncode}); stderr tail: "
                       f"{out.stderr[-500:]}")
 
-    # Primary measurement: the pipelined child measures BOTH the per-step
-    # fenced time and the production-representative pipelined chain (the
-    # real training loop reads back once per EPOCH — train/loop.py:253 —
-    # so the chained number is what training actually achieves; the fenced
-    # number charges every step a full relay round-trip the production
-    # loop never pays). The chain can stall this environment's relay
-    # (docs/PERF.md), so it runs bounded with retries and the fenced-only
-    # child is the fallback headline.
+    # Order of operations (changed round 4 after BENCH_r03 lost the
+    # pipelined headline): the FENCED child runs FIRST. It both guarantees
+    # a headline and compiles the superstep into the persistent cache, so
+    # the pipelined attempts that follow never pay a fresh multi-minute
+    # remote compile inside their watchdog window (round 3: a 9-minute
+    # compile burned both pipelined attempts' 600 s budgets and the run
+    # fell back to the fenced number anyway). The first fenced attempt
+    # gets a compile-sized timeout; retries resume from the disk cache.
     metric = ("MRI volumes/sec/chip (multimodal survival train, "
               "densenet121-3d 64^3x2ch, super-batch 64, on-device augment)")
+    fenced = None
+    for attempt in range(3):
+        fenced, err = child_json(env, timeout=1200 if attempt == 0 else 600)
+        if fenced is not None:
+            break
+        print(f"fenced attempt {attempt + 1}: {err}", file=sys.stderr)
+
+    # Pipelined upgrade: the production-representative number (the real
+    # training loop reads back once per EPOCH — train/loop.py:253 — so the
+    # chained number is what training actually achieves; the fenced number
+    # charges every step a full relay round-trip the production loop never
+    # pays). The chain can stall this environment's relay (docs/PERF.md),
+    # so it runs bounded with retries, cache-warm from the fenced child.
     for attempt in range(2):
-        pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"), timeout=600)
+        pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"), timeout=420)
         if pl is not None:
             vps = pl["pipelined_volumes_per_sec_per_chip"]
             base = _baseline_volumes_per_sec()
@@ -247,17 +260,11 @@ def _run_with_watchdog():
             return 0
         print(f"pipelined attempt {attempt + 1}: {err}", file=sys.stderr)
 
-    print("pipelined chain stalled twice; falling back to the fenced "
-          "per-step headline", file=sys.stderr)
-    result = None
-    for attempt in range(3):
-        result, err = child_json(env, timeout=600)
-        if result is not None:
-            break
-        print(f"fenced attempt {attempt + 1}: {err}", file=sys.stderr)
-    if result is None:
+    if fenced is None:
         return 1
-    print(json.dumps(result))
+    print("pipelined chain stalled twice; using the fenced per-step "
+          "headline", file=sys.stderr)
+    print(json.dumps(fenced))
     return 0
 
 

@@ -64,6 +64,7 @@ import argparse
 import dataclasses
 import json
 import math
+import sys
 
 import numpy as np
 
@@ -899,7 +900,10 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.image_model == "tinydensenet" and args.size < 16:
-        args.size = 16  # two transitions need /16 of spatial extent
+        print(f"notice: --image-model tinydensenet needs size >= 16 (two "
+              f"transitions need /16 of spatial extent); raising --size "
+              f"{args.size} -> 16", file=sys.stderr)
+        args.size = 16
     if args.out is None:
         args.out = ("PARITY_TWIN.json" if args.task == "survival"
                     else "PARITY_TWIN_CLASS.json")

@@ -151,12 +151,13 @@ class TPUConfig:
     # statistics, per-microbatch Cox losses, per-microbatch RNG streams,
     # sequential running-stat EMA order — equivalence-tested in
     # tests/test_steps.py); only throughput changes. Ships at 1: on v5e the
-    # grouped program is a measured ~17% REGRESSION (111 -> 129-131 ms/
-    # superstep at group 2/4/8) because keeping per-microbatch gradients
-    # separate lowers the weight-grads to batch-group convolutions whose
-    # HLO FLOPs scale linearly with the group — see docs/PERF.md
-    # "Grouped microbatches". Must divide the accumulation count
-    # (super_batch/batch_size) or it falls back to 1.
+    # grouped program is a measured 17-23% REGRESSION (112.7 -> 136-147 ms/
+    # superstep at group 2/4/8, same true FLOPs and conv count) — the cost
+    # is the layout/fusion churn of keeping per-member BN statistics and
+    # augment RNG in (group, B, ...) structure against the merged
+    # (group*B)-batch convolutions, plus group x activation memory in the
+    # joint backward — see docs/PERF.md "Grouped microbatches". Must divide
+    # the accumulation count (super_batch/batch_size) or it falls back to 1.
     microbatch_group: int = 1
     debug_nans: bool = False
     profile_dir: str = ""

@@ -176,3 +176,18 @@ def test_build_manifest_s3_with_fake_lister(cohort, tmp_path):
     assert len(records) == 24
     assert all(r.image_path.endswith(".nii.gz") for r in records)
     assert sorted(r.uid for r in records) == sorted(int(u) for u in uids)
+
+
+def test_example_config_template_parses():
+    """The shipped config.example.yaml must stay in sync with the parser:
+    every section parses, validation passes, and the values it documents
+    (flagship model, t1t2, bf16) round-trip into the typed Config."""
+    from mmnn_sts_tpu.config import parse_config
+
+    cfg = parse_config("/root/repo/config.example.yaml")
+    assert cfg.image_model.name == "densenet121"
+    assert cfg.image_model.modality == "t1t2"
+    assert cfg.image_model.in_channels == 2
+    assert cfg.tpu.compute_dtype == "bfloat16"
+    assert cfg.hyperparameters.cox_ties == "breslow"
+    assert cfg.data.image_format == "nifti"

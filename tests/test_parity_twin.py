@@ -13,11 +13,21 @@ held-out C-index must agree loosely (chaotic amplification of float
 noise is expected; semantic drift is NOT).
 """
 
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
 import pytest
+
+# The dense-family twin trains a 22-layer 3D DenseNet in BOTH frameworks —
+# minutes of wall time on this 1-core VM (ADVICE r3). It is pinned by the
+# committed PARITY_TWIN_DENSE.json artifact; re-verify with
+# MMNN_SLOW_TESTS=1 python -m pytest tests/test_parity_twin.py -q
+dense_slow = pytest.mark.skipif(
+    not os.environ.get("MMNN_SLOW_TESTS"),
+    reason="slow dense-family twin; set MMNN_SLOW_TESTS=1 to run",
+)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
 
@@ -126,6 +136,7 @@ def dense_twin_result(tmp_path_factory):
     return compare(cfg, jax_hist, torch_hist)
 
 
+@dense_slow
 def test_dense_first_epoch_loss_matches_tight(dense_twin_result):
     # same init (weights copied flax->torch incl. every BN/conv in the dense
     # blocks), same batches -> epoch-1 agreement at float-noise level; a
@@ -135,6 +146,7 @@ def test_dense_first_epoch_loss_matches_tight(dense_twin_result):
         dense_twin_result
 
 
+@dense_slow
 def test_dense_trajectories_stay_close(dense_twin_result):
     # a deeper net amplifies float noise faster than TinyCNN, but semantic
     # drift (stem s2d gradient, transition pooling, concat ordering, BN
