@@ -151,7 +151,11 @@ def main():
         # readbacks (n=200 cohort -> 4), so segment-5 matches the production
         # dispatch depth while keeping the queue shallower than the
         # depth-10 chain that once stalled the relay (docs/PERF.md).
-        seg, n_seg = 5, 4
+        # MMNN_BENCH_SEG overrides the segment depth for queue-depth
+        # experiments (benchmarks/tpu_queue_depth_probe.py measured deeper
+        # chains strictly faster but with higher relay-stall risk).
+        seg = int(os.environ.get("MMNN_BENCH_SEG", "5"))
+        n_seg = max(1, 20 // seg)
         chain_keys = list(jax.random.split(jax.random.key(1), seg * n_seg))
         jax.block_until_ready(chain_keys)
         t0 = time.perf_counter()

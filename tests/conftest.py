@@ -37,3 +37,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Drop live compiled executables after each test module.
+
+    A single pytest process compiles many hundred XLA:CPU executables over
+    the full suite; holding them all alive eventually crashes XLA late in
+    the run (observed ~75% through: SIGSEGV in backend_compile_and_load /
+    SIGABRT in deserialize_executable — each crashing test passes solo).
+    The on-disk compilation cache makes re-loads cheap, so releasing the
+    in-process caches per module trades a little reload time for not
+    accumulating JIT state across 40+ modules.
+    """
+    yield
+    jax.clear_caches()
