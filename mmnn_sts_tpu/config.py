@@ -166,10 +166,13 @@ class TPUConfig:
     # models/densenet.FusedBottleneck)
     use_pallas_fused_dense: bool = False
     # rematerialize DenseNet backbone activations in the backward pass
-    # (jax.checkpoint per dense layer / transition): trades ~⅓ more forward
-    # FLOPs for dropping every layer-internal activation from HBM, for
-    # volumes/batches whose activations exceed one chip's HBM (pairs with
-    # mesh_axes [data, space]). Numerics identical (tests/test_remat.py).
+    # (jax.checkpoint per dense layer / transition), for volumes/batches
+    # whose activations approach one chip's HBM (pairs with mesh_axes
+    # [data, space]). Numerics identical (tests/test_remat.py). Measured
+    # on v5e (docs/PERF.md round 4): the scan accumulation already bounds
+    # live activations to one microbatch, so at <=96^3 this trades only
+    # -8..-13% temp HBM for +2..+8% step time — keep OFF until temp
+    # memory is the binding constraint.
     remat: bool = False
 
 
