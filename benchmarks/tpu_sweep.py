@@ -42,6 +42,12 @@ def main():
     # production micro-batch — semantics-preserving, so this is the sweep
     # axis that matters for the shipped configuration
     ap.add_argument("--groups", type=int, nargs="*", default=[1])
+    # A/B the Pallas fused BN+ReLU+1x1-conv bottleneck kernel
+    # (ops/pallas/fused_dense.py) against XLA's native fusion at HEAD —
+    # the standing rejection was measured in the round-1/2 environment,
+    # before the S2D stem / channels-leading augment / interp fix
+    # (VERDICT r4 item 2a).
+    ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +61,7 @@ def main():
 
     cfg = Config()
     cfg.tpu.compute_dtype = "bfloat16"
+    cfg.tpu.use_pallas_fused_dense = bool(args.pallas)
     model = build_model(cfg, images=True, preop=True, postop=False, blend=True)
 
     rows = []
@@ -125,6 +132,7 @@ def main():
             {
                 "micro_batch": b,
                 "group": g,
+                "pallas": bool(args.pallas),
                 "superbatch_volumes": volumes,
                 "step_ms": round(dt * 1e3, 2),
                 "ms_per_volume": round(dt * 1e3 / volumes, 3),

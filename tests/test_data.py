@@ -1,5 +1,7 @@
 """Data-layer tests: clinical cleaning, splits, NIfTI, image cohort."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -184,7 +186,8 @@ def test_example_config_template_parses():
     (flagship model, t1t2, bf16) round-trip into the typed Config."""
     from mmnn_sts_tpu.config import parse_config
 
-    cfg = parse_config("/root/repo/config.example.yaml")
+    template = Path(__file__).resolve().parent.parent / "config.example.yaml"
+    cfg = parse_config(str(template))
     assert cfg.image_model.name == "densenet121"
     assert cfg.image_model.modality == "t1t2"
     assert cfg.image_model.in_channels == 2
