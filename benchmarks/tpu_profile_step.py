@@ -27,6 +27,11 @@ import os
 import tempfile
 import time
 
+# tensorboard_plugin_profile's generated protos predate protobuf 4's C++
+# descriptor pool; force the pure-python implementation (must be set
+# before google.protobuf is first imported).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 
 def build_step(args):
     import jax

@@ -3,171 +3,192 @@
 VERDICT r4 item 2b: the round-4 body attribution conceded a 2x gap
 between the body's ~18% MFU and its ~35% architectural ceiling, waving
 it at "BN/ReLU/concat bandwidth between GEMMs" with only a coarse
-70-650 GB/s range. This probe replaces the range with arithmetic:
+70-650 GB/s range. This probe replaces the range with arithmetic, taken
+from the profiler trace itself: the TPU xplane attaches XLA's cost-model
+`bytes_accessed` / `flops` / `hlo_category` to every op's event
+metadata, so each op gets
 
-  1. compile the production superstep and parse its optimized HLO into a
-     per-op map {name -> bytes touched per execution} (sum of operand +
-     result buffer sizes from the shape strings — an upper bound on
-     bytes that must cross HBM for ops whose operands aren't resident);
-  2. capture an xplane trace of a few fenced steps and take each op's
-     device self-time and execution count (the converter's
-     framework_op_stats lane, as benchmarks/tpu_profile_step.py);
-  3. join on op name: achieved GB/s = bytes * execs / device-time, and
-     % of the v5e HBM roofline (819 GB/s).
+    achieved GB/s   = bytes_accessed * execs / device-time
+    achieved TFLOP/s = flops * execs / device-time
 
-An op near the roofline is bandwidth-FLOOR-bound: no reformulation that
-touches the same bytes can be faster, certifying that share of the step.
-Ops far below the roofline (and below MXU peak) are the remaining
-headroom candidates.
+and a % of the v5e HBM roofline (819 GB/s) / bf16 MXU peak (197 TF/s).
+An op near the HBM roofline is bandwidth-FLOOR-bound — no reformulation
+touching the same bytes can beat it — which certifies that share of the
+step. Ops far below BOTH rooflines are the remaining headroom.
+
+The xplane is parsed directly (tensorflow.tsl xplane_pb2); the
+tensorboard_plugin_profile converter in this environment is broken
+against its own tensorflow (xspace_to_tools_data missing), so no
+converter is involved.
 
 Run on TPU (cache env vars set — CLAUDE.md):
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_roofline.py \
       --out-json /tmp/roofline.json
+Re-analyze an existing trace without touching hardware:
+  python benchmarks/tpu_roofline.py --trace-dir /tmp/xroofline_... --steps 3
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
-import re
-import sys
+import os
 import tempfile
 import time
 
+# the generated xplane protos predate protobuf 4's C++ descriptor pool
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 HBM_GBS = 819.0  # v5e HBM bandwidth (jax-ml.github.io/scaling-book)
-
-_DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-    "c64": 8, "c128": 16, "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3": 1,
-}
-
-_SHAPE_RE = re.compile(r"([a-z][a-z0-9]*)\[([0-9,]*)\]")
-_DEF_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^=]*?\)|\S+)\s+"
-    r"([\w\-]+)\(([^)]*)\)"
-)
+MXU_TFLOPS = 197.0  # v5e bf16 peak
 
 
-def _shape_bytes(type_str: str) -> int:
-    """Total bytes of every array shape in an HLO type string (handles
-    tuples by summing members; token/opaque contribute 0)."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(type_str):
-        if dtype not in _DTYPE_BYTES:
+def xplane_op_table(trace_dir: str):
+    """[(op display name, category, total_device_ps, execs, bytes/exec,
+    flops/exec)] aggregated over the 'XLA Ops' line of the TPU plane."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    rows = {}
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
             continue
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        em, sm = plane.event_metadata, plane.stat_metadata
+        for ln in plane.lines:
+            if ln.name != "XLA Ops":
+                continue
+            for ev in ln.events:
+                r = rows.setdefault(ev.metadata_id, [0, 0])
+                r[0] += ev.duration_ps
+                r[1] += 1
+        out = []
+        for mid, (ps, n) in rows.items():
+            md = em[mid]
+            stats = {sm[s.metadata_id].name: s for s in md.stats}
+
+            def val(name):
+                s = stats.get(name)
+                return int(s.uint64_value or s.int64_value) if s else 0
+
+            cat = (stats["hlo_category"].str_value
+                   if "hlo_category" in stats else "")
+            out.append((md.display_name or md.name, cat, ps, n,
+                        val("bytes_accessed"), val("flops")))
+        return out
+    raise RuntimeError("no TPU plane in trace")
 
 
-def parse_hlo_bytes(hlo_text: str) -> dict:
-    """name -> {out_bytes, in_bytes, opcode} for every op definition.
-
-    Operand bytes are resolved through a first pass that records each
-    op's result bytes; operand tokens that aren't resolvable names
-    (literals, computation refs) contribute 0.
-    """
-    defs = {}
-    for line in hlo_text.splitlines():
-        m = _DEF_RE.match(line)
-        if not m:
+def analyze(trace_dir: str, steps: int, top: int):
+    table = xplane_op_table(trace_dir)
+    rows = []
+    for name, cat, ps, n, bytes_, flops in table:
+        if ps == 0:
             continue
-        name, type_str, opcode, operands = m.groups()
-        defs[name] = {
-            "out_bytes": _shape_bytes(type_str),
-            "opcode": opcode,
-            "operand_names": [
-                tok.strip().lstrip("%")
-                for tok in operands.split(",") if tok.strip()
-            ],
-        }
-    for d in defs.values():
-        d["in_bytes"] = sum(
-            defs[o]["out_bytes"] for o in d.pop("operand_names") if o in defs
-        )
-    return defs
+        sec = ps * 1e-12
+        rows.append({
+            "op": name,
+            "category": cat,
+            "ms_per_step": round(ps / 1e9 / steps, 3),
+            "execs_per_step": round(n / steps, 1),
+            "mb_per_exec": round(bytes_ / 1e6, 2),
+            "achieved_gbs": round(bytes_ * n / sec / 1e9, 1),
+            "pct_hbm_roofline": round(100 * bytes_ * n / sec / 1e9 / HBM_GBS,
+                                      1),
+            "achieved_tflops": round(flops * n / sec / 1e12, 2),
+            "pct_mxu_peak": round(100 * flops * n / sec / 1e12 / MXU_TFLOPS,
+                                  1),
+        })
+    # the scan wrapper ('while') double-counts its body; report it but
+    # exclude from category totals
+    body = [r for r in rows if r["category"] != "while"]
+    by_cat = {}
+    for r in body:
+        c = by_cat.setdefault(r["category"] or "?", [0.0, 0.0, 0.0])
+        c[0] += r["ms_per_step"]
+        c[1] += r["mb_per_exec"] * r["execs_per_step"]
+        c[2] += r["achieved_tflops"] * r["ms_per_step"] / 1e3
+    cats = [
+        {"category": k,
+         "ms_per_step": round(v[0], 2),
+         "gb_per_step": round(v[1] / 1e3, 3),
+         "avg_gbs": round(v[1] / 1e3 / (v[0] / 1e3), 1) if v[0] else 0.0,
+         "pct_hbm_roofline": round(
+             100 * v[1] / 1e3 / (v[0] / 1e3) / HBM_GBS, 1) if v[0] else 0.0}
+        for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1][0])
+    ]
+    rows.sort(key=lambda r: -r["ms_per_step"])
+    return rows[:top], cats
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
-    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--accum", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--augment", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--trace-dir", default="",
+                    help="re-analyze an existing trace (no hardware)")
     ap.add_argument("--out-json", default="")
     args = ap.parse_args()
 
-    import jax
-    import numpy as np
+    trace_dir = args.trace_dir
+    if not trace_dir:
+        import sys
 
-    sys.path.insert(0, str(__file__).rsplit("/", 1)[0])
-    from tpu_profile_step import build_step, parse_trace
+        import jax
 
-    step, state = build_step(args)
-    key = jax.random.key(0)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tpu_profile_step import build_step
 
-    t0 = time.perf_counter()
-    state, aux = step(state, key)
-    jax.device_get(aux["loss"])  # honest fence (docs/PERF.md)
-    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
-          flush=True)
+        step, state = build_step(args)
+        key = jax.random.key(0)
+        t0 = time.perf_counter()
+        state, aux = step(state, key)
+        jax.device_get(aux["loss"])  # honest fence (docs/PERF.md)
+        print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        trace_dir = tempfile.mkdtemp(prefix="xroofline_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.steps):
+                key, k = jax.random.split(key)
+                state, aux = step(state, k)
+                jax.device_get(aux["loss"])
+        print("trace dir:", trace_dir, flush=True)
 
-    # Optimized HLO of the very executable being traced (jit cache warm,
-    # so lower().compile() re-uses the compiled program).
-    lowered = jax.jit(lambda st, k: step(st, k)).lower(state, key)
-    hlo = lowered.compile().as_text()
-    print(f"optimized HLO: {len(hlo) / 1e6:.1f} MB", flush=True)
-    byte_map = parse_hlo_bytes(hlo)
-    del hlo
+    rows, cats = analyze(trace_dir, args.steps, args.top)
 
-    trace_dir = tempfile.mkdtemp(prefix="xroofline_")
-    with jax.profiler.trace(trace_dir):
-        for _ in range(args.steps):
-            key, k = jax.random.split(key)
-            state, aux = step(state, k)
-            jax.device_get(aux["loss"])
-    table = parse_trace(trace_dir, top=400)
+    print("\n| category | ms/step | GB/step | avg GB/s | % HBM roofline |")
+    print("|---|---|---|---|---|")
+    for c in cats:
+        print(f"| {c['category']} | {c['ms_per_step']} | {c['gb_per_step']} "
+              f"| {c['avg_gbs']} | {c['pct_hbm_roofline']} |")
 
-    joined = []
-    for t in table:
-        name = str(t["op"])
-        occ = float(t["occurrences"] or 0)
-        us = float(t["total_self_us"] or 0)
-        info = byte_map.get(name)
-        if info is None or us <= 0:
-            continue
-        bytes_per_exec = info["out_bytes"] + info["in_bytes"]
-        gbs = bytes_per_exec * occ / (us * 1e-6) / 1e9
-        joined.append({
-            "op": name,
-            "opcode": info["opcode"],
-            "ms_per_step": round(us / 1e3 / args.steps, 2),
-            "execs_per_step": int(occ / args.steps),
-            "mb_per_exec": round(bytes_per_exec / 1e6, 2),
-            "achieved_gbs": round(gbs, 1),
-            "pct_of_hbm_roofline": round(100 * gbs / HBM_GBS, 1),
-        })
-    joined.sort(key=lambda r: -r["ms_per_step"])
-    joined = joined[: args.top]
-
-    print("\n| op | opcode | ms/step | execs/step | MB/exec | GB/s | % roofline |")
-    print("|---|---|---|---|---|---|---|")
-    for r in joined:
-        print(f"| {r['op'][:60]} | {r['opcode']} | {r['ms_per_step']} | "
+    print("\n| op | category | ms/step | execs/step | MB/exec | GB/s | "
+          "%HBM | TF/s | %MXU |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['op'][:48]} | {r['category']} | {r['ms_per_step']} | "
               f"{r['execs_per_step']} | {r['mb_per_exec']} | "
-              f"{r['achieved_gbs']} | {r['pct_of_hbm_roofline']} |")
-    out = {"hbm_roofline_gbs": HBM_GBS, "steps": args.steps, "rows": joined}
-    print(json.dumps({"rows": len(joined)}))
+              f"{r['achieved_gbs']} | {r['pct_hbm_roofline']} | "
+              f"{r['achieved_tflops']} | {r['pct_mxu_peak']} |")
+    print(json.dumps({"rows": len(rows)}))
     if args.out_json:
         with open(args.out_json, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump({"hbm_roofline_gbs": HBM_GBS,
+                       "mxu_peak_tflops": MXU_TFLOPS,
+                       "steps": args.steps, "categories": cats,
+                       "ops": rows}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -11,8 +11,9 @@ reflect a learnable problem, not noise.
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "..", "tests"))
+_repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+sys.path.insert(0, _repo)
+sys.path.insert(0, os.path.join(_repo, "tests"))
 
 from fixtures import (  # noqa: E402
     make_clinical_csv, make_image_tree, make_patient_key,
