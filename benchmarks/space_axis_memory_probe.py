@@ -100,13 +100,20 @@ def main():
             rng.integers(1, 2000, size=(a, b, 2)).astype(np.float32))
         sample = jax.tree.map(lambda x: x[0], batch)
 
-        def mem(state, bt, ev, du, label):
-            fn = jax.jit(
-                lambda st, bb, ee, dd, k: survival_train_superstep(
-                    st, bb, ee, dd, k, blend=True),
-                donate_argnums=(0,),
-            )
-            compiled = fn.lower(state, bt, ev, du, jax.random.key(0)).compile()
+        def mem(state, bt, ev, du, label, mesh=None, axes=(None, None)):
+            da, sa = axes
+
+            def call(st, bb, ee, dd, k):
+                return survival_train_superstep(
+                    st, bb, ee, dd, k, blend=True, data_axis=da,
+                    space_axis=sa)
+
+            fn = jax.jit(call, donate_argnums=(0,))
+            import contextlib
+            ctx = mesh if mesh is not None else contextlib.nullcontext()
+            with ctx:
+                compiled = fn.lower(state, bt, ev, du,
+                                    jax.random.key(0)).compile()
             m = compiled.memory_analysis()
             row = {
                 "size": s, "config": label,
@@ -123,7 +130,7 @@ def main():
         mem(state1, batch, events, durations, "single-device")
 
         # dp x sp hybrid
-        if n_dev >= 2 * args.space:
+        if n_dev >= args.space and n_dev % args.space == 0:
             mesh = make_mesh(shape=[n_dev // args.space, args.space],
                              axis_names=("data", "space"))
             state2 = create_train_state(model, tx, sample, seed=42)
@@ -141,7 +148,8 @@ def main():
             ev2 = jax.device_put(events, sh_b)
             du2 = jax.device_put(durations, sh_b)
             fn = mem(state2, batch2, ev2, du2,
-                     f"dp{n_dev // args.space} x sp{args.space}")
+                     f"dp{n_dev // args.space} x sp{args.space}",
+                     mesh=mesh, axes=("data", "space"))
             if args.run_one_step:
                 st, aux = fn(state2, batch2, ev2, du2, jax.random.key(0))
                 loss = float(aux["loss"])

@@ -236,18 +236,21 @@ def train_survival(
                 _epoch_batches(train_ds, batcher, epoch, mesh)
             ):
                 key, k = jax.random.split(key)
-                state, aux = survival_train_superstep(
-                    state,
-                    batch["inputs"],
-                    batch["events"],
-                    batch["durations"],
-                    k,
-                    blend=cfg.blend,
-                    augment=cfg.augment,
-                    ties=cfg.ties,
-                    group=cfg.microbatch_group,
-                    mask=tail_mask if s == steps_total - 1 else None,
-                )
+                with mesh:
+                    state, aux = survival_train_superstep(
+                        state,
+                        batch["inputs"],
+                        batch["events"],
+                        batch["durations"],
+                        k,
+                        blend=cfg.blend,
+                        augment=cfg.augment,
+                        ties=cfg.ties,
+                        group=cfg.microbatch_group,
+                        mask=tail_mask if s == steps_total - 1 else None,
+                        data_axis=_data_axis(mesh, cfg.batch_size),
+                        space_axis=_space_axis(mesh, train_ds),
+                    )
                 step_losses.append(aux["loss"])
                 step_preds.append(aux["preds"])
             # single epoch-end readback

@@ -135,8 +135,21 @@ def _survival_superstep_body(
     ties: str,
     group: int = 1,
     mask: jax.Array | None = None,
+    data_axis: str | None = None,
+    space_axis: str | None = None,
 ):
     """One optimizer update over A accumulated microbatches (traceable).
+
+    data_axis/space_axis re-anchor each microbatch's sharding AFTER the
+    augmentation stage (_shard_batch constraint): the augment chain's
+    depth-global resamples (rotation shears, Gaussian separable passes)
+    make the SPMD partitioner gather the volume, and with no interior
+    constraint it then keeps the whole model body replicated — measured
+    on the 128^3 memory probe as ZERO per-device temp reduction from a
+    space-sharded input. The post-augment constraint pins the conv body
+    back onto (batch='data', depth='space'), so XLA inserts the conv halo
+    exchanges and per-device activation memory actually falls
+    (benchmarks/space_axis_memory_probe.py, docs/SCALING.md).
 
     group > 1 executes `group` microbatches at a time as ONE vmapped
     program (a lax.scan over A/group iterations): within a superstep the
@@ -190,6 +203,9 @@ def _survival_superstep_body(
 
     def one_micro(batch_stats, mb_inputs, mb_e, mb_d, ks, mb_mask=None):
         mb_inputs = _augment_inputs(mb_inputs, ks[0], train=augment)
+        # post-augment re-anchor (see docstring): without this the space
+        # axis buys no activation memory
+        mb_inputs = _shard_batch(mb_inputs, data_axis, 0, space_axis)
         (loss, (new_bs, out)), grads = grad_fn(
             state.params, batch_stats, mb_inputs, mb_e, mb_d, ks[1], mb_mask
         )
@@ -227,6 +243,10 @@ def _survival_superstep_body(
                 def member(mb_inputs, mb_e, mb_d, ks):
                     mb_inputs = _augment_inputs(mb_inputs, ks[0],
                                                 train=augment)
+                    # post-augment re-anchor (see docstring); inside vmap
+                    # the batch dim is still leaf dim 0
+                    mb_inputs = _shard_batch(mb_inputs, data_axis, 0,
+                                             space_axis)
                     return loss_fn(params, batch_stats, mb_inputs, mb_e,
                                    mb_d, ks[1])
 
@@ -262,7 +282,8 @@ def _survival_superstep_body(
     return new_state, {"loss": loss_sum, "preds": outs}
 
 
-@partial(jax.jit, static_argnames=("blend", "augment", "ties", "group"),
+@partial(jax.jit, static_argnames=("blend", "augment", "ties", "group",
+                                   "data_axis", "space_axis"),
          donate_argnums=(0,))
 def survival_train_superstep(
     state: TrainState,
@@ -275,6 +296,8 @@ def survival_train_superstep(
     ties: str = "breslow",
     group: int = 1,
     mask: jax.Array | None = None,
+    data_axis: str | None = None,
+    space_axis: str | None = None,
 ):
     """One jitted optimizer update (used by the streaming/host path and
     tests; device-resident epochs use survival_train_epoch).
@@ -287,10 +310,14 @@ def survival_train_superstep(
     wrap-padded ragged tail: masked samples are excluded from losses,
     gradients and BatchNorm statistics, reproducing the reference's smaller
     last batch (/root/reference/main.py:445-492,478-481) on static shapes.
+    `data_axis`/`space_axis` (mesh axis names) anchor each microbatch's
+    SPMD sharding after augmentation — required for the 'space' axis to
+    actually reduce per-device activation memory (see
+    _survival_superstep_body).
     """
     return _survival_superstep_body(
         state, inputs, events, durations, key, blend, augment, ties, group,
-        mask,
+        mask, data_axis, space_axis,
     )
 
 
@@ -374,7 +401,7 @@ def survival_train_epoch(
             _shard_batch(events[step_idx], data_axis, 1),
             _shard_batch(durations[step_idx], data_axis, 1),
             k, blend, augment, ties, group,
-            mask,
+            mask, data_axis, space_axis,
         )
         return st, (aux["loss"], aux["preds"])
 

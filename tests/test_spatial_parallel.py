@@ -138,6 +138,56 @@ def test_spatially_sharded_superstep_matches_single_device(rng):
     )
 
 
+def test_anchored_superstep_matches_single_device(rng):
+    """The post-augment sharding anchor (data_axis/space_axis on
+    survival_train_superstep — round 5): with the constraint active the
+    partitioned program must still equal unsharded execution. Without the
+    anchor the partitioner may legally replicate after the augment chain's
+    depth-global resamples, which preserves numerics but delivers ZERO
+    per-device activation-memory relief (measured:
+    benchmarks/space_axis_memory_probe.py, docs/SCALING.md) — so this is
+    the configuration the scaling guide actually recommends, with
+    augmentation ON to cover the resample -> re-anchor boundary."""
+    a, b, s = 1, 4, 16
+    x = jnp.asarray(
+        rng.normal(size=(a, b, s, s, s, 1)).astype(np.float32) ** 2)
+    e = jnp.asarray((rng.random((a, b, 2)) < 0.8).astype(np.float32))
+    d = jnp.asarray(rng.integers(1, 100, size=(a, b, 2)).astype(np.float32))
+
+    model = TinyCNN(in_channels=1, out_channels=2, feature_channels=4,
+                    dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+
+    st1 = create_train_state(model, tx, x[0], seed=0)
+    st1, aux1 = survival_train_superstep(st1, x, e, d, jax.random.key(0),
+                                         blend=False, augment=True)
+
+    mesh = _space_mesh()
+    st2 = create_train_state(model, tx, x[0], seed=0)
+    st2 = st2.replace(
+        params=replicate(mesh, st2.params),
+        batch_stats=replicate(mesh, st2.batch_stats),
+        opt_state=replicate(mesh, st2.opt_state),
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", "space")))
+    sh = NamedSharding(mesh, P(None, "data"))
+    with mesh:
+        st2, aux2 = survival_train_superstep(
+            st2, xs, jax.device_put(e, sh), jax.device_put(d, sh),
+            jax.random.key(0), blend=False, augment=True,
+            data_axis="data", space_axis="space",
+        )
+
+    assert float(aux1["loss"]) == pytest.approx(float(aux2["loss"]), rel=1e-4)
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=2e-5
+        ),
+        st1.params,
+        st2.params,
+    )
+
+
 def test_shard_batch_constrains_space_axis_without_data_axis():
     """A space-only mesh reaches _shard_batch with data_axis=None — the
     depth constraint must still be applied (it is the whole point of
