@@ -253,11 +253,17 @@ def _run_with_watchdog():
               "densenet121-3d 64^3x2ch, super-batch 64, on-device augment)")
     fenced = None
     for attempt in range(3):
-        budget = min(1200.0 if attempt == 0 else 600.0, remaining())
-        if budget < 60:
+        rem = remaining()
+        if rem < 60:
             print(f"fenced attempt {attempt + 1}: skipped, wall budget "
-                  f"spent ({remaining():.0f} s left)", file=sys.stderr)
+                  f"spent ({rem:.0f} s left)", file=sys.stderr)
             break
+        # Never hand one child the whole wall: the relay intermittently
+        # hangs a process for 10+ minutes (docs/PERF.md), and a hang that
+        # eats the deadline leaves no room for the warm retry that always
+        # fixes it. Reserve ~320 s (a cache-warm child) when possible.
+        cap = 1200.0 if attempt == 0 else 600.0
+        budget = min(cap, rem - 320.0 if rem > 640.0 else rem)
         fenced, err = child_json(env, timeout=budget)
         if fenced is not None:
             break

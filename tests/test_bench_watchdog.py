@@ -120,6 +120,9 @@ def test_fenced_retry_budgets_respect_deadline(monkeypatch, capsys):
     cap = capsys.readouterr()
     assert rc == 1
     assert _json_lines(cap.out) == []
-    # attempt 1: min(1200, 900) = 900; budget then spent -> no attempt 2+
-    assert calls == [900.0]
+    # attempt 1 must NOT get the whole wall: ~320 s is reserved so a hung
+    # first child (the relay pathology) leaves room for one warm retry.
+    # attempt 1: min(1200, 900-320) = 580; attempt 2: min(600, 320) = 320;
+    # budget then spent -> no attempt 3.
+    assert calls == [580.0, 320.0]
     assert sum(calls) <= 900.0
