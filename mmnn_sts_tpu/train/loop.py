@@ -496,16 +496,19 @@ def train_classification(
                 _epoch_batches(train_ds, batcher, epoch, mesh)
             ):
                 key, k = jax.random.split(key)
-                state, aux = classification_train_step(
-                    state,
-                    batch["inputs"],
-                    batch["labels"],
-                    pos_weight,
-                    k,
-                    blend=cfg.blend,
-                    augment=cfg.augment,
-                    mask=tail_mask if s == steps_total - 1 else None,
-                )
+                with mesh:
+                    state, aux = classification_train_step(
+                        state,
+                        batch["inputs"],
+                        batch["labels"],
+                        pos_weight,
+                        k,
+                        blend=cfg.blend,
+                        augment=cfg.augment,
+                        mask=tail_mask if s == steps_total - 1 else None,
+                        data_axis=_data_axis(mesh, cfg.batch_size),
+                        space_axis=_space_axis(mesh, train_ds),
+                    )
                 step_losses.append(aux["loss"])
                 step_logits.append(aux["preds"])
 

@@ -447,9 +447,15 @@ def survival_eval_step(
 
 
 def _classification_step_body(state, inputs, labels, pos_weight, key,
-                              blend, augment, mask=None):
+                              blend, augment, mask=None,
+                              data_axis=None, space_axis=None):
     aug_key, dropout_key = jax.random.split(key)
     inputs = _augment_inputs(inputs, aug_key, train=augment)
+    # post-augment sharding re-anchor — same rationale as
+    # _survival_superstep_body: without it the partitioner may replicate
+    # the conv body after the augment chain's depth-global resamples and
+    # the 'space' axis buys no activation memory (docs/SCALING.md).
+    inputs = _shard_batch(inputs, data_axis, 0, space_axis)
 
     def loss_fn(params, batch_stats):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -476,7 +482,9 @@ def _classification_step_body(state, inputs, labels, pos_weight, key,
     return new_state, {"loss": loss, "preds": out}
 
 
-@partial(jax.jit, static_argnames=("blend", "augment"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("blend", "augment", "data_axis",
+                                   "space_axis"),
+         donate_argnums=(0,))
 def classification_train_step(
     state: TrainState,
     inputs: Any,  # leaves (B, ...)
@@ -486,13 +494,18 @@ def classification_train_step(
     blend: bool = False,
     augment: bool = True,
     mask: jax.Array | None = None,
+    data_axis: str | None = None,
+    space_axis: str | None = None,
 ):
     """One optimizer step per batch (no accumulation —
     /root/reference/main.py:205-217). `mask` (B,) marks the valid samples
     of a wrap-padded ragged last batch (masked loss/grads/BN statistics —
-    the reference's smaller final loader batch)."""
+    the reference's smaller final loader batch). `data_axis`/`space_axis`
+    anchor the post-augment sharding on a mesh (see
+    survival_train_superstep)."""
     return _classification_step_body(state, inputs, labels, pos_weight, key,
-                                     blend, augment, mask)
+                                     blend, augment, mask, data_axis,
+                                     space_axis)
 
 
 def _classification_eval_body(state, inputs, labels, pos_weight, blend):
@@ -551,7 +564,7 @@ def classification_train_epoch(
         )
         st, aux = _classification_step_body(
             st, mb_inputs, _shard_batch(labels[step_idx], data_axis, 0),
-            pos_weight, k, blend, augment, mask
+            pos_weight, k, blend, augment, mask, data_axis, space_axis
         )
         return st, (aux["loss"], aux["preds"])
 

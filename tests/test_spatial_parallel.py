@@ -188,6 +188,52 @@ def test_anchored_superstep_matches_single_device(rng):
     )
 
 
+def test_anchored_classification_step_matches_single_device(rng):
+    """classification_train_step with the round-5 post-augment anchor
+    (data_axis/space_axis) on the dp x sp mesh equals unsharded execution
+    — the classification analogue of the survival anchor test above."""
+    from mmnn_sts_tpu.train.steps import classification_train_step
+
+    b, s = 4, 16
+    x = jnp.asarray(
+        rng.normal(size=(b, s, s, s, 1)).astype(np.float32) ** 2)
+    y = jnp.asarray((rng.random((b, 2)) < 0.5).astype(np.float32))
+    pw = jnp.asarray([1.3, 0.9], np.float32)
+
+    model = TinyCNN(in_channels=1, out_channels=2, feature_channels=4,
+                    dropout_prob=0.0)
+    tx = make_optimizer(1e-2, 2, 2)
+
+    st1 = create_train_state(model, tx, x, seed=0)
+    st1, aux1 = classification_train_step(st1, x, y, pw, jax.random.key(0),
+                                          blend=False, augment=True)
+
+    mesh = _space_mesh()
+    st2 = create_train_state(model, tx, x, seed=0)
+    st2 = st2.replace(
+        params=replicate(mesh, st2.params),
+        batch_stats=replicate(mesh, st2.batch_stats),
+        opt_state=replicate(mesh, st2.opt_state),
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    with mesh:
+        st2, aux2 = classification_train_step(
+            st2, xs, ys, jax.device_put(pw, NamedSharding(mesh, P())),
+            jax.random.key(0), blend=False, augment=True,
+            data_axis="data", space_axis="space",
+        )
+
+    assert float(aux1["loss"]) == pytest.approx(float(aux2["loss"]), rel=1e-4)
+    jax.tree.map(
+        lambda p1, p2: np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=2e-5
+        ),
+        st1.params,
+        st2.params,
+    )
+
+
 def test_shard_batch_constrains_space_axis_without_data_axis():
     """A space-only mesh reaches _shard_batch with data_axis=None — the
     depth constraint must still be applied (it is the whole point of
