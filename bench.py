@@ -283,15 +283,21 @@ def _run_with_watchdog():
     # pays). The chain can stall this environment's relay (docs/PERF.md),
     # so it runs bounded with retries, cache-warm from the fenced child,
     # and only while the wall budget allows.
-    for attempt in range(2):
+    # Attempt 1 runs the chain at segment depth 10 — measured ~5% faster
+    # (829 vs 793 vol/s, docs/PERF.md) but the configuration that once
+    # stalled the relay; with the fenced headline already printed a stall
+    # costs only budget, never evidence, so the risk calculus flipped.
+    # Attempt 2 falls back to the robust depth-5 chain.
+    for attempt, seg in enumerate(("10", "5")):
         budget = min(420.0, remaining())
         if budget < 60:
             print(f"pipelined attempt {attempt + 1}: skipped, wall budget "
                   f"spent ({remaining():.0f} s left); fenced headline "
                   "stands", file=sys.stderr)
             break
-        pl, err = child_json(dict(env, MMNN_BENCH_PIPELINED="1"),
-                             timeout=budget)
+        child_env = dict(env, MMNN_BENCH_PIPELINED="1")
+        child_env.setdefault("MMNN_BENCH_SEG", seg)
+        pl, err = child_json(child_env, timeout=budget)
         if pl is not None:
             vps = pl["pipelined_volumes_per_sec_per_chip"]
             base = _baseline_volumes_per_sec()

@@ -78,6 +78,33 @@ def test_pipelined_upgrade_supersedes_fenced_line(monkeypatch, capsys):
     assert lines[-1]["vs_baseline"] > 0
 
 
+def test_pipelined_attempts_try_depth10_then_depth5(monkeypatch, capsys):
+    """Attempt 1 chases the faster depth-10 chain (safe now that the
+    fenced headline prints first); the retry falls back to the robust
+    depth-5 chain. An operator-set MMNN_BENCH_SEG is respected."""
+    segs = []
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        if env.get("MMNN_BENCH_PIPELINED"):
+            segs.append(env.get("MMNN_BENCH_SEG"))
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return _ok(FENCED)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.delenv("MMNN_BENCH_SEG", raising=False)
+    rc = bench._run_with_watchdog()
+    assert rc == 0
+    assert segs == ["10", "5"]
+    assert _json_lines(capsys.readouterr().out)[-1]["value"] == 600.0
+
+    segs.clear()
+    monkeypatch.setenv("MMNN_BENCH_SEG", "3")
+    rc = bench._run_with_watchdog()
+    assert rc == 0
+    assert segs == ["3", "3"]
+    capsys.readouterr()
+
+
 def test_wall_deadline_skips_pipelined(monkeypatch, capsys):
     """A fenced child that eats most of the wall budget leaves less than
     the 60 s attempt floor -> pipelined attempts are SKIPPED (no child
